@@ -1,13 +1,387 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.data.SynthCorpus
+import graft.kg.KgPipeline
+import graft.link.{Dict, Linker}
+import graft.ops.{AnnOps, DedupOps, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), plus DuckDB oracle SQL for every SQL-expressible one.
+  * KG-pipeline queries run on the deterministic synthetic transcript corpus
+  * (BASELINE.json: synthesize the input-hint table at small scale; no
+  * external data) and are rows-only checked; their correctness gate is the
+  * differential-oracle ScalaTest suite (KgPipelineSpec).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared dictionary (built once per JVM, broadcast once per session) --
+  private lazy val dict: Dict = Dict.default()
+  @volatile private var bcache: (SparkSession, Broadcast[Dict]) = null
+  private def bdict(spark: SparkSession): Broadcast[Dict] = synchronized {
+    if (bcache == null || !(bcache._1 eq spark))
+      bcache = (spark, spark.sparkContext.broadcast(dict))
+    bcache._2
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Scale knobs from the sf directory name. */
+  private def scaleOf(dir: String): (Int, Int, Int) = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    if (sf >= 0.1) (20000, 6000, 12)
+    else if (sf >= 0.01) (3000, 800, 8)
+    else (400, 120, 5)
+  }
+
+  private def kgInputs(spark: SparkSession, dir: String) = {
+    val (corpusN, nConvs, nDistricts) = scaleOf(dir)
+    val b = bdict(spark)
+    val corpus = SynthCorpus.corpusDS(spark, b, corpusN, nDistricts, seed = 42)
+    val turns = SynthCorpus.transcriptsDS(spark, b, nConvs, nDistricts, seed = 7)
+    (corpus, turns)
+  }
+
+  /** Flagship query on sf=0.001: the full transcript→KG pipeline; returns the
+    * emitted triples. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (corpus, turns) = kgInputs(spark, "/root/testdata/sf0.001")
+    val (_, triples, _) = KgPipeline.run(spark, turns, corpus, bdict(spark), 5)
+    triples.toDF().orderBy("subj", "pred", "obj")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- KG pipeline (reference semantics; rows-only) ---------
+    "kg_triples" -> ((s, dir) => {
+      val (corpus, turns) = kgInputs(s, dir)
+      val (_, triples, _) = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+      triples.toDF().orderBy("subj", "pred", "obj")
+    }),
+    "kg_links" -> ((s, dir) => {
+      val (corpus, turns) = kgInputs(s, dir)
+      val (_, _, hits) = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+      hits.toDF().withColumn("similarity", round(col("similarity"), 9))
+        .orderBy("queryId", "rank")
+    }),
+    "kg_mentions" -> ((s, dir) => {
+      import s.implicits._
+      val (_, turns) = kgInputs(s, dir)
+      KgPipeline.detectMentions(s, turns, bdict(s))
+        .map(m => (m.convId, m.turnIdx, m.start, m.addr.pid, m.addr.cid,
+          m.addr.did, m.addr.townId, m.addr.villageId, m.addr.road,
+          m.addr.roadNum, m.addr.buildingNum, m.addr.text))
+        .toDF("conv_id", "turn_idx", "start", "pid", "cid", "did", "town_id",
+          "village_id", "road", "road_num", "building_num", "residual")
+        .orderBy("conv_id", "turn_idx")
+    }),
+    "kg_idf" -> ((s, dir) => {
+      val (corpus, _) = kgInputs(s, dir)
+      val docs = Linker.buildDocs(s, corpus, bdict(s))
+      Linker.buildIdf(s, docs).toDF()
+        .withColumn("idf", round(col("idf"), 9))
+        .orderBy("partKey", "termKey")
+    }),
+    "kg_towns" -> ((s, dir) => {
+      val (corpus, _) = kgInputs(s, dir)
+      Linker.discoverTowns(s, corpus, bdict(s))
+        .orderBy("district_id", "name")
+    }),
+    "kg_adjacency" -> ((s, dir) => {
+      KgPipeline.regionAdjacency(s, dict).orderBy("src", "dst")
+    }),
+
+    // ---------------- core dataflow on driver tables (DuckDB-oracled) ------
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+    "q3_segment_join" -> ((s, dir) => {
+      t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "q4_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q5_supplier_nation" -> ((s, dir) => {
+      t(s, dir, "supplier").join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("s_acctbal"), 2).as("total_bal"))
+        .orderBy("n_name")
+    }),
+    "q6_filtered_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---------------- dedup suite (documents) ------------------------------
+    "q7_dedup_exact" -> ((s, dir) => {
+      DedupOps.exact(t(s, dir, "documents")).orderBy("keep_id")
+    }),
+    "q8_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccard(t(s, dir, "documents"), col("doc_id") < 20,
+          n = 3, minJaccard = 0.2)
+        .orderBy("qid", "did")
+    }),
+    "q9_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minHashSignature(docs, "doc_id", "text", n = 5, k = 32)
+      DedupOps.lshCandidates(sig, k = 32, bands = 8).orderBy("a", "b")
+    }),
+    "q10_simhash" -> ((s, dir) => {
+      DedupOps.simHash(t(s, dir, "documents"), "doc_id", "text", n = 4)
+        .orderBy("sid")
+    }),
+
+    // ---------------- text analysis (documents) ----------------------------
+    "q11_token_counts" -> ((s, dir) => {
+      TextOps.tokenCounts(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "n_tokens_est").orderBy("doc_id")
+    }),
+    "q12_quality" -> ((s, dir) => {
+      TextOps.qualitySignals(t(s, dir, "documents"))
+        .select("doc_id", "n_len", "n_words", "n_punct", "n_digit",
+          "stop_hits", "mean_word_len")
+        .orderBy("doc_id")
+    }),
+    "q13_fingerprint" -> ((s, dir) => {
+      TextOps.fingerprints(t(s, dir, "documents"))
+        .select("doc_id", "md5").orderBy("doc_id")
+    }),
+    "q14_langid" -> ((s, dir) => {
+      TextOps.langIdGuess(t(s, dir, "documents"))
+        .select("doc_id", "en_hits", "de_hits", "es_hits", "fr_hits", "lang_guess")
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- similarity search (embeddings) -----------------------
+    "q15_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnOps.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .orderBy("qid", "rank")
+    }),
+    "q16_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnOps.lshTopK(e, e.where(col("vec_id") < 10), k = 5, dim = 64, bits = 6)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---------------- events: windowed agg + sessionization ----------------
+    "q17_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("ts")).cast("timestamp")).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_ms", "event_type")
+    }),
+    "q18_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("gap", col("ms") - lag("ms", 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800000L, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    "q19_dict_export" -> ((s, dir) => {
+      // Union/distinct/orderBy dictionary export (SURVEY.md §2 E4 analog).
+      t(s, dir, "events").select(col("event_type").as("val"))
+        .union(t(s, dir, "documents").select(col("lang").as("val")))
+        .union(t(s, dir, "documents").select(col("source").as("val")))
+        .distinct()
+        .orderBy(length(col("val")).desc, col("val"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,
+         count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_top_orders" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q3_segment_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+           SELECT o_custkey, o_orderkey, row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""",
+    "q5_supplier_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal),2) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q6_filtered_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS cnt
+         FROM lineitem
+         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q7_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count, md5(text) AS text_md5
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q8_ngram_jaccard" ->
+      """WITH idx AS (
+           SELECT doc_id AS sid, text, unnest(generate_series(1, length(text)-2)) AS i
+           FROM documents WHERE length(text) >= 3),
+         sh AS (
+           SELECT DISTINCT sid, substr(text, CAST(i AS INT), 3) AS shingle FROM idx),
+         sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid),
+         q AS (SELECT sid AS qid, shingle FROM sh WHERE sid < 20),
+         inter AS (
+           SELECT q.qid, sh.sid, count(*) AS shared FROM q
+           JOIN sh ON q.shingle = sh.shingle AND q.qid <> sh.sid
+           GROUP BY q.qid, sh.sid)
+         SELECT i.qid, i.sid AS did,
+           round(CAST(i.shared AS DOUBLE)/(qs.nsh + ds.nsh - i.shared), 4) AS jaccard
+         FROM inter i JOIN sizes qs ON i.qid = qs.sid JOIN sizes ds ON i.sid = ds.sid
+         WHERE round(CAST(i.shared AS DOUBLE)/(qs.nsh + ds.nsh - i.shared), 4) >= 0.2
+         ORDER BY qid, did""",
+    "q11_token_counts" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+         CAST(floor((length(regexp_replace(text, '\s+', '', 'g')) + 3) / 4) AS BIGINT)
+           AS n_tokens_est
+         FROM documents ORDER BY doc_id""",
+    "q12_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST((length(text) - length(replace(text, ' the ', '')))/5
+            + (length(text) - length(replace(text, ' and ', '')))/5
+            + (length(text) - length(replace(text, ' of ', '')))/4
+            + (length(text) - length(replace(text, ' to ', '')))/4
+            + (length(text) - length(replace(text, ' a ', '')))/3 AS BIGINT) AS stop_hits,
+         round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+           greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0), 4)
+           AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+    "q13_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+    "q14_langid" ->
+      """SELECT doc_id,
+         CAST((length(text) - length(replace(text, ' the ', '')))/5
+            + (length(text) - length(replace(text, ' and ', '')))/5
+            + (length(text) - length(replace(text, ' of ', '')))/4 AS BIGINT) AS en_hits,
+         CAST((length(text) - length(replace(text, ' der ', '')))/5
+            + (length(text) - length(replace(text, ' und ', '')))/5
+            + (length(text) - length(replace(text, ' die ', '')))/5 AS BIGINT) AS de_hits,
+         CAST((length(text) - length(replace(text, ' el ', '')))/4
+            + (length(text) - length(replace(text, ' los ', '')))/5
+            + (length(text) - length(replace(text, ' que ', '')))/5 AS BIGINT) AS es_hits,
+         CAST((length(text) - length(replace(text, ' le ', '')))/4
+            + (length(text) - length(replace(text, ' les ', '')))/5
+            + (length(text) - length(replace(text, ' et ', '')))/4 AS BIGINT) AS fr_hits,
+         CASE
+           WHEN (length(text) - length(replace(text, ' the ', '')))/5
+              + (length(text) - length(replace(text, ' and ', '')))/5
+              + (length(text) - length(replace(text, ' of ', '')))/4 >=
+                (length(text) - length(replace(text, ' der ', '')))/5
+              + (length(text) - length(replace(text, ' und ', '')))/5
+              + (length(text) - length(replace(text, ' die ', '')))/5
+            AND (length(text) - length(replace(text, ' the ', '')))/5
+              + (length(text) - length(replace(text, ' and ', '')))/5
+              + (length(text) - length(replace(text, ' of ', '')))/4 >=
+                (length(text) - length(replace(text, ' el ', '')))/4
+              + (length(text) - length(replace(text, ' los ', '')))/5
+              + (length(text) - length(replace(text, ' que ', '')))/5
+            AND (length(text) - length(replace(text, ' the ', '')))/5
+              + (length(text) - length(replace(text, ' and ', '')))/5
+              + (length(text) - length(replace(text, ' of ', '')))/4 >=
+                (length(text) - length(replace(text, ' le ', '')))/4
+              + (length(text) - length(replace(text, ' les ', '')))/5
+              + (length(text) - length(replace(text, ' et ', '')))/4
+           THEN 'en'
+           WHEN (length(text) - length(replace(text, ' der ', '')))/5
+              + (length(text) - length(replace(text, ' und ', '')))/5
+              + (length(text) - length(replace(text, ' die ', '')))/5 >=
+                (length(text) - length(replace(text, ' el ', '')))/4
+              + (length(text) - length(replace(text, ' los ', '')))/5
+              + (length(text) - length(replace(text, ' que ', '')))/5
+            AND (length(text) - length(replace(text, ' der ', '')))/5
+              + (length(text) - length(replace(text, ' und ', '')))/5
+              + (length(text) - length(replace(text, ' die ', '')))/5 >=
+                (length(text) - length(replace(text, ' le ', '')))/4
+              + (length(text) - length(replace(text, ' les ', '')))/5
+              + (length(text) - length(replace(text, ' et ', '')))/4
+           THEN 'de'
+           WHEN (length(text) - length(replace(text, ' el ', '')))/4
+              + (length(text) - length(replace(text, ' los ', '')))/5
+              + (length(text) - length(replace(text, ' que ', '')))/5 >=
+                (length(text) - length(replace(text, ' le ', '')))/4
+              + (length(text) - length(replace(text, ' les ', '')))/5
+              + (length(text) - length(replace(text, ' et ', '')))/4
+           THEN 'es'
+           ELSE 'fr' END AS lang_guess
+         FROM documents ORDER BY doc_id""",
+    "q15_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id AS nid,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+           FROM q CROSS JOIN embeddings e WHERE q.qid <> e.vec_id),
+         ranked AS (
+           SELECT qid, nid, c, row_number() OVER
+             (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, nid, round(c, 4) AS cos, rank FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "q17_events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+         count(*) AS cnt, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+    "q18_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, epoch_ms(ts) AS ms,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT user_id,
+           sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+           count(*) AS n_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q19_dict_export" ->
+      """SELECT DISTINCT val FROM (
+           SELECT event_type AS val FROM events
+           UNION ALL SELECT lang AS val FROM documents
+           UNION ALL SELECT source AS val FROM documents)
+         ORDER BY length(val) DESC, val"""
+  )
 }

@@ -3,7 +3,7 @@ package graft.analyse
 import scala.collection.mutable.ArrayBuffer
 
 import graft.interpret.MutableAddress
-import graft.model.{DocVec, TermRow, TermTypes}
+import graft.model.{DocVec, TermRow}
 
 /** Document (term-vector) assembly — `SimilarityComputer.analyse`
   * (`SimilarityComputer.java:110-159`): ordered terms Town, Village, Road,
@@ -18,7 +18,8 @@ object DocAnalyser {
 
   def analyse(docId: Long, partKey: String, addr: MutableAddress): DocVec = {
     val d = addr.division
-    val terms = new ArrayBuffer[TermRow](8)
+    val types = new java.lang.StringBuilder(8)
+    val texts = new ArrayBuffer[String](8)
     var town: String = null
     var village: String = null
     var road: String = null
@@ -27,28 +28,30 @@ object DocAnalyser {
 
     if (d.hasTown) {
       town = d.town.name
-      terms += TermRow(TermTypes.Town.toString, town, 0.0, null)
+      types.append('T'); texts += town
     }
     if (d.hasVillage) {
       village = d.village.name
-      terms += TermRow(TermTypes.Village.toString, village, 0.0, null)
+      types.append('V'); texts += village
     }
     if (addr.road.nonEmpty) {
       road = addr.road
-      terms += TermRow(TermTypes.Road.toString, road, 0.0, null)
+      types.append('R'); texts += road
     }
     if (addr.roadNum.nonEmpty) {
       roadNum = addr.roadNum
       roadNumValue = Segmenter.translateRoadNum(addr.roadNum)
-      terms += TermRow(TermTypes.RoadNum.toString, roadNum, 0.0, road)
+      types.append('N'); texts += roadNum
     }
     if (addr.text.nonEmpty) {
       Segmenter.segment(addr.text).foreach { token =>
-        if (token != null && token.nonEmpty && !terms.exists(_.text == token))
-          terms += TermRow(TermTypes.Text.toString, token, 0.0, null)
+        if (token != null && token.nonEmpty && !texts.contains(token)) {
+          types.append('X'); texts += token
+        }
       }
     }
-    DocVec(docId, partKey, terms.toSeq, town, village, road, roadNum, roadNumValue)
+    DocVec(docId, partKey, types.toString, texts.toArray,
+      new Array[Double](texts.length), town, village, road, roadNum, roadNumValue)
   }
 
   /** IDF-table key: RoadNum uses the composite `"<roadText>-<num>"`
@@ -58,4 +61,26 @@ object DocAnalyser {
       val num = Segmenter.translateRoadNum(t.text)
       (if (t.ref == null) "" else t.ref) + "-" + num
     } else t.text
+
+  /** Positional variant over the flat DocVec layout. */
+  def idfKeyAt(doc: DocVec, i: Int): String =
+    if (doc.termType(i) == 'N') {
+      val num = Segmenter.translateRoadNum(doc.texts(i))
+      (if (doc.road == null) "" else doc.road) + "-" + num
+    } else doc.texts(i)
+
+  /** Return a copy with idf stamped per term from the partition IDF map;
+    * missing keys get `MissingIdf` (`SimilarityComputer.java:146-154`). */
+  def stampIdf(doc: DocVec,
+      idfMap: java.util.HashMap[String, java.lang.Double]): DocVec = {
+    val n = doc.nTerms
+    val idfs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = idfMap.get(idfKeyAt(doc, i))
+      idfs(i) = if (v == null) MissingIdf else v.doubleValue()
+      i += 1
+    }
+    doc.copy(idfs = idfs)
+  }
 }

@@ -101,6 +101,11 @@ final class TermIndex(regions: Regions, ignoreList: Seq[String]) extends Seriali
     case _ => TermTypes.Undefined
   }
 
+  /** Fast pre-check for offset scans: no trie entry starts with this char.
+    * deepMostQuery from such an offset cannot match anything. */
+  def rootHasChar(c: Char): Boolean =
+    root.children != null && root.children.containsKey(c)
+
   /** Deep-most backtracking search (`TermIndexBuilder.java:107-131`): longest
     * -first DFS descent, visit payload nodes, recurse after accepted items —
     * full enumeration of alternative segmentations. */

@@ -1,0 +1,189 @@
+package graft.kg
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.analyse.DocAnalyser
+import graft.interpret.{AddressInterpreter, MutableAddress, RegionVisitor}
+import graft.link.{Dict, Linker}
+import graft.model._
+
+/** A detected mention inside one transcript turn: identity + interpretation +
+  * query term vector. */
+final case class MentionDoc(
+    queryId: Long,
+    convId: String,
+    turnIdx: Int,
+    start: Int, // mention start offset in the turn text
+    addr: InterpretedAddress,
+    doc: DocVec
+)
+
+/** Transcript → knowledge-graph construction pipeline (the north-star shape):
+  * mention detection over turn text via the broadcast trie, entity linking via
+  * the TF-IDF cosine kernel against the historical corpus, triple + adjacency
+  * emission. All stages are Dataset transforms; shuffles only on partKey (the
+  * pruned district key) and queryId (top-k) — see Linker's scale notes.
+  */
+object KgPipeline {
+
+  /** Stable 64-bit id for (conv_id, turn_idx) — FNV-1a over the conv id mixed
+    * with the turn index. Collision probability is negligible at test scale;
+    * at 10^12 turns switch the key columns themselves (kept numeric here so
+    * LinkHit stays compact). */
+  def queryId(convId: String, turnIdx: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < convId.length) {
+      h ^= convId.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^ (turnIdx.toLong << 1)
+  }
+
+  /** Scan a turn's text for the first offset where the trie yields a valid
+    * region match (province+city+district, with the removeRedundancy validity
+    * rule: >=2 matched terms or >=1 full-name match —
+    * `AddressInterpreter.java:351`), then interpret the tail as an address.
+    * Returns null when no mention. */
+  def detectMention(text: String, interp: AddressInterpreter,
+      visitor: RegionVisitor): (Int, MutableAddress) = {
+    if (text == null || text.length < 4) return null
+    var i = 0
+    val limit = text.length - 3
+    while (i < limit) {
+      // Offsets whose char starts no trie entry can't match — skip without
+      // resetting/running the visitor (the common case over prose).
+      if (interp.termIndex.rootHasChar(text.charAt(i))) {
+        visitor.reset()
+        interp.termIndex.deepMostQuery(text, i, visitor)
+        if (visitor.hasResult &&
+            (visitor.resultMatchCount >= 2 || visitor.resultFullMatchCount >= 1)) {
+          val addr = interp.interpret(text.substring(i), visitor)
+          if (addr != null && addr.division.hasCity && addr.division.hasDistrict)
+            return (i, addr)
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Turns → detected mentions with query term vectors (no idf yet).
+    * Narrow stage: broadcast trie inside mapPartitions, one visitor per
+    * partition. */
+  def detectMentions(spark: SparkSession, turns: Dataset[Turn],
+      dict: Broadcast[Dict]): Dataset[MentionDoc] = {
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      val interp = dict.value.interpreter
+      val visitor = interp.newVisitor()
+      it.flatMap { turn =>
+        val hit = detectMention(turn.text, interp, visitor)
+        if (hit == null) None
+        else {
+          val (start, addr) = hit
+          val pk = interp.partKey(addr)
+          if (pk == null) None
+          else {
+            val qid = queryId(turn.conv_id, turn.turn_idx)
+            Some(MentionDoc(qid, turn.conv_id, turn.turn_idx, start,
+              interp.toInterpreted(qid, addr),
+              DocAnalyser.analyse(qid, pk, addr)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Stamp corpus IDF onto mention query docs; terms missing from the
+    * partition IDF table get MISSING_IDF=4 (`SimilarityComputer.java:146-154`). */
+  def stampQueryIdf(spark: SparkSession, mentions: Dataset[MentionDoc],
+      idf: Dataset[IdfRow]): Dataset[MentionDoc] = {
+    import spark.implicits._
+    mentions.groupByKey(_.doc.partKey).cogroup(idf.groupByKey(_.partKey)) {
+      (_, mIt, idfIt) =>
+        val idfMap = new java.util.HashMap[String, java.lang.Double]()
+        idfIt.foreach(r => idfMap.put(r.termKey, r.idf))
+        mIt.map(m => m.copy(doc = DocAnalyser.stampIdf(m.doc, idfMap)))
+    }
+  }
+
+  /** Division/road/building triples from detected mentions. */
+  def mentionTriples(spark: SparkSession, mentions: Dataset[MentionDoc],
+      dict: Broadcast[Dict]): Dataset[Triple] = {
+    import spark.implicits._
+    mentions.flatMap { m =>
+      val subj = s"${m.convId}#${m.turnIdx}"
+      val pk = m.doc.partKey
+      val a = m.addr
+      val out = Seq.newBuilder[Triple]
+      def reg(pred: String, id: Long): Unit =
+        if (id > 0) out += Triple(subj, pred, s"region:$id", 0.0, pk)
+      reg("hasProvince", a.pid)
+      reg("hasCity", a.cid)
+      reg("hasDistrict", a.did)
+      reg("hasStreet", a.streetId)
+      reg("hasTown", a.townId)
+      reg("hasVillage", a.villageId)
+      if (a.road.nonEmpty) out += Triple(subj, "hasRoad", a.road, 0.0, pk)
+      if (a.roadNum.nonEmpty) out += Triple(subj, "hasRoadNum", a.roadNum, 0.0, pk)
+      if (a.buildingNum.nonEmpty)
+        out += Triple(subj, "hasBuildingNum", a.buildingNum, 0.0, pk)
+      if (a.text.nonEmpty) out += Triple(subj, "residualText", a.text, 0.0, pk)
+      out.result()
+    }
+  }
+
+  /** linkedTo triples from top-k link hits. */
+  def linkTriples(spark: SparkSession, mentions: Dataset[MentionDoc],
+      hits: Dataset[LinkHit]): Dataset[Triple] = {
+    import spark.implicits._
+    val ids = mentions.map(m => (m.queryId, s"${m.convId}#${m.turnIdx}", m.doc.partKey))
+      .toDF("queryId", "subj", "partKey")
+    hits.toDF().join(ids, "queryId")
+      .selectExpr("subj", "'linkedTo' as pred",
+        "concat('addr:', docId) as obj", "similarity as score", "partKey")
+      .as[Triple]
+  }
+
+  /** Region parent/child adjacency edges (the KG's backbone graph, from the
+    * broadcast dictionary — `persist/AddressPersister.java:248-278` recast). */
+  def regionAdjacency(spark: SparkSession, dict: Dict): DataFrame = {
+    import spark.implicits._
+    dict.regions.all
+      .filter(r => r.parentId > 0)
+      .map(r => (r.parentId, r.id, "parentOf"))
+      .toDF("src", "dst", "edgeType")
+  }
+
+  /** End-to-end: turns + historical corpus → (mentions, triples, hits).
+    * topN per the reference query default.
+    *
+    * The interpret stages (buildDocs, detectMentions) are the expensive
+    * narrow maps and feed 2-3 downstream consumers each — persist them so
+    * each computes exactly once per job DAG (the Spark analog of the
+    * reference's per-district doc/IDF memoization,
+    * `SimilarityComputer.java:567-613`). MEMORY_AND_DISK: partitions spill
+    * rather than recompute at scale. In the checkpointed-stage runner these
+    * become materialized tables instead. */
+  def run(spark: SparkSession, turns: Dataset[Turn],
+      corpus: Dataset[(Long, String)], dict: Broadcast[Dict], topN: Int)
+      : (Dataset[MentionDoc], Dataset[Triple], Dataset[LinkHit]) = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val docs = Linker.buildDocs(spark, corpus, dict)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idf = Linker.buildIdf(spark, docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docsIdf = Linker.attachIdf(spark, docs, idf)
+    val mentions = stampQueryIdf(spark, detectMentions(spark, turns, dict), idf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hits = Linker.linkTopK(spark, mentions.map(_.doc), docsIdf, topN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val triples = mentionTriples(spark, mentions, dict)
+      .union(linkTriples(spark, mentions, hits))
+    (mentions, triples, hits)
+  }
+}

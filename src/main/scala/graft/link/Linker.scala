@@ -70,9 +70,11 @@ object Linker {
   def buildIdf(spark: SparkSession, docs: Dataset[DocVec]): Dataset[IdfRow] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val termKeys = docs.select($"partKey", $"docId", explode($"terms").as("term"))
-      .select($"partKey", $"docId", $"term.t".as("t"), $"term.text".as("text"),
-        $"term.ref".as("ref"))
+    val termKeys = docs
+      .select($"partKey", $"docId", $"tTypes", $"road",
+        posexplode($"texts").as(Seq("pos", "text")))
+      .select($"partKey", $"docId",
+        expr("substring(tTypes, pos + 1, 1)").as("t"), $"text", $"road")
       .withColumn("termKey", termKeyCol)
     val df = termKeys.groupBy($"partKey", $"termKey").agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy($"partKey").agg(count(lit(1)).as("nDocs"))
@@ -87,15 +89,13 @@ object Linker {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.Column
 
-  /** RoadNum composite key `road-num` in pure column form would need
-    * translateRoadNum; use a tiny codegen-friendly path for the common ASCII
-    * case and fall back to the Scala function via UDF-free map for the rest.
-    * Here: compute with the exact Scala function through a typed projection to
-    * keep parity (termKey materialized before the aggregation). */
+  /** IDF-table key column: the RoadNum composite `road-num` needs the exact
+    * `translateRoadNum` semantics, so it stays a Scala function (invoked only
+    * for 'N' terms — a handful per doc). */
   private def termKeyCol: Column = {
     val f = udf((t: String, text: String, ref: String) =>
       DocAnalyser.idfKey(TermRow(t, text, 0.0, ref)))
-    f(col("t"), col("text"), col("ref"))
+    f(col("t"), col("text"), col("road"))
   }
 
   /** Stamp per-partition idf onto every doc term (reference: `:601-611`).
@@ -108,14 +108,9 @@ object Linker {
     grouped.cogroup(idfGrouped) { (_, docIt, idfIt) =>
       val idfMap = new java.util.HashMap[String, java.lang.Double]()
       idfIt.foreach(r => idfMap.put(r.termKey, r.idf))
-      docIt.map { d =>
-        d.copy(terms = d.terms.map { t =>
-          val v = idfMap.get(DocAnalyser.idfKey(t))
-          // Doc-side terms always resolve (idf built from the same corpus);
-          // null only on out-of-corpus attach — use MISSING_IDF like queries.
-          t.copy(idf = if (v == null) DocAnalyser.MissingIdf else v.doubleValue())
-        })
-      }
+      // Doc-side terms always resolve (idf built from the same corpus);
+      // misses only on out-of-corpus attach — MISSING_IDF like queries.
+      docIt.map(DocAnalyser.stampIdf(_, idfMap))
     }
   }
 
@@ -130,29 +125,51 @@ object Linker {
       (_, qIt, idfIt) =>
         val idfMap = new java.util.HashMap[String, java.lang.Double]()
         idfIt.foreach(r => idfMap.put(r.termKey, r.idf))
-        qIt.map { q =>
-          q.copy(terms = q.terms.map { t =>
-            val v = idfMap.get(DocAnalyser.idfKey(t))
-            t.copy(idf = if (v == null) DocAnalyser.MissingIdf else v.doubleValue())
-          })
-        }
+        qIt.map(DocAnalyser.stampIdf(_, idfMap))
     }
   }
 
-  /** Top-k linking: cogroup queries and docs on partKey, score every pair
-    * within the partition, keep a bounded per-query heap. Ties pinned
-    * (desc similarity, asc docId) — documented divergence from the
-    * reference's scan-order tie-keep (`Query.java:73,89`; SURVEY.md §7.4-3).
-    * Hits with similarity <= 0 are dropped (`Query.addSimiDoc` `Query.java:62`).
-    */
+  /** Top-k linking via a GRID (blocked cross-join) cogroup on
+    * (partKey, docBucket, queryBucket). Ties pinned (desc similarity, asc
+    * docId) — documented divergence from the reference's scan-order tie-keep
+    * (`Query.java:73,89`; SURVEY.md §7.4-3). Hits with similarity <= 0 are
+    * dropped (`Query.addSimiDoc` `Query.java:62`).
+    *
+    * Why a grid: partKey is the district key — power-law skewed and low-
+    * cardinality, so a plain partKey cogroup caps parallelism at #districts
+    * and the hot district serializes the O(|q|·|d|) scoring (measured 0.25
+    * scaling efficiency at 8→32 cores). A g×g grid splits docs into g
+    * buckets by docId and queries into g buckets by queryId, and replicates
+    * each side g ways (docs to every query bucket, queries to every doc
+    * bucket): every (query, doc) pair of a district meets in exactly one
+    * cell, parallelism becomes #districts × g², and shuffle volume grows
+    * only ×g per side (vs ×g² for one-sided salting at equal parallelism —
+    * row deserialization of the replicated side was the measured bottleneck).
+    * Per-doc-bucket partial top-k heaps are merged by a final tiny reduce on
+    * queryId. Results are bit-identical for any g. At extreme skew, derive g
+    * per district from a frequency sketch instead of a global constant. */
   def linkTopK(spark: SparkSession, queries: Dataset[DocVec],
-      docs: Dataset[DocVec], topN: Int): Dataset[LinkHit] = {
+      docs: Dataset[DocVec], topN: Int, grid: Int = 6): Dataset[LinkHit] = {
     import spark.implicits._
-    queries.groupByKey(_.partKey).cogroup(docs.groupByKey(_.partKey)) {
-      (_, qIt, dIt) =>
-        val dsides = dIt.map(d => new Scoring.DocSide(d)).toArray
-        if (dsides.isEmpty) Iterator.empty
-        else qIt.flatMap { q => topKForQuery(q, dsides, topN) }
+    val g = math.max(1, grid)
+    val qKeyed = queries.flatMap { q =>
+      val qb = java.lang.Long.remainderUnsigned(q.docId, g).toInt
+      (0 until g).map(db => (db, qb, q))
+    }.groupByKey { case (db, qb, q) => (q.partKey, db, qb) }
+    val dKeyed = docs.flatMap { d =>
+      val db = java.lang.Long.remainderUnsigned(d.docId, g).toInt
+      (0 until g).map(qb => (db, qb, d))
+    }.groupByKey { case (db, qb, d) => (d.partKey, db, qb) }
+    val partial = qKeyed.cogroup(dKeyed) { (_, qIt, dIt) =>
+      val dsides = dIt.map { case (_, _, d) => new Scoring.Side(d) }.toArray
+      if (dsides.isEmpty) Iterator.empty
+      else qIt.flatMap { case (_, _, q) => topKForQuery(q, dsides, topN) }
+    }
+    if (g == 1) partial
+    else partial.groupByKey(_.queryId).flatMapGroups { (qid, hits) =>
+      val heap = new TopK(topN)
+      hits.foreach(h => heap.offer(h.docId, h.similarity))
+      heap.toHits(qid)
     }
   }
 
@@ -167,13 +184,16 @@ object Linker {
     val bq = spark.sparkContext.broadcast(byPart)
     val partial = docs.mapPartitions { it =>
       val heaps = new scala.collection.mutable.HashMap[Long, TopK]()
+      val qsides = new scala.collection.mutable.HashMap[String, Array[Scoring.QuerySide]]()
       val qmap = bq.value
       it.foreach { d =>
-        qmap.get(d.partKey).foreach { qs =>
-          val ds = new Scoring.DocSide(d)
+        val qs = qsides.getOrElseUpdate(d.partKey,
+          qmap.getOrElse(d.partKey, Array.empty).map(new Scoring.QuerySide(_)))
+        if (qs.nonEmpty) {
+          val ds = new Scoring.Side(d)
           qs.foreach { q =>
             val s = Scoring.score(q, ds)
-            if (s > 0) heaps.getOrElseUpdate(q.docId, new TopK(topN)).offer(d.docId, s)
+            if (s > 0) heaps.getOrElseUpdate(q.doc.docId, new TopK(topN)).offer(d.docId, s)
           }
         }
       }
@@ -187,34 +207,80 @@ object Linker {
     }
   }
 
-  private def topKForQuery(q: DocVec, dsides: Array[Scoring.DocSide],
+  private def topKForQuery(q: DocVec, dsides: Array[Scoring.Side],
       topN: Int): Iterator[LinkHit] = {
+    val qside = new Scoring.QuerySide(q)
     val heap = new TopK(topN)
     var i = 0
     while (i < dsides.length) {
-      val s = Scoring.score(q, dsides(i))
+      val s = Scoring.score(qside, dsides(i))
       if (s > 0) heap.offer(dsides(i).doc.docId, s)
       i += 1
     }
     heap.toHits(q.docId)
   }
 
-  /** Bounded top-k keeper with pinned ordering (desc sim, asc docId). */
+  /** Town/village discovery (canonicalization of new surface forms —
+    * `AddressInterpreter.extractTownVillage` + `acceptTown` SURVEY.md §2
+    * A19/C3, then A20 id assignment): per-partition local accumulation
+    * (map-side combine for free), global distinct, deterministic new-region
+    * ids `districtId*10000 + rank(name)` via a per-district window
+    * (`AddressPersister.importRegionTowns/initializeRegionId`
+    * `AddressPersister.java:168-208` — ordering pinned by name, a documented
+    * divergence from the reference's insertion-order ids). */
+  def discoverTowns(spark: SparkSession, corpus: Dataset[(Long, String)],
+      dict: Broadcast[Dict]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val candidates = corpus.mapPartitions { it =>
+      val interp = dict.value.interpreter
+      val visitor = interp.newVisitor()
+      val towns = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[String]]
+      it.foreach { case (_, text) =>
+        interp.extractTownVillage(text, visitor, towns)
+      }
+      towns.iterator.flatMap { case (did, names) => names.iterator.map(n => (did, n)) }
+    }.toDF("district_id", "name").distinct()
+    val w = Window.partitionBy(col("district_id")).orderBy(col("name"))
+    candidates
+      .withColumn("new_region_id",
+        col("district_id") * 10000 + row_number().over(w) - 1)
+      .withColumn("region_type",
+        when(substring(col("name"), -1, 1).isin("镇", "乡"), lit(RegionTypesTown))
+          .when(substring(col("name"), -1, 1) === "村", lit(RegionTypesVillage))
+          .otherwise(lit(0)))
+      .where(col("region_type") > 0)
+  }
+
+  private val RegionTypesTown = graft.model.RegionTypes.Town
+  private val RegionTypesVillage = graft.model.RegionTypes.Village
+
+  /** Bounded top-k keeper with pinned ordering (desc sim, asc docId).
+    * Sorted primitive arrays of size k: O(1) rejection of the common
+    * below-threshold offer, shift-insert otherwise — no boxing, no resort
+    * (`Query.addSimiDoc` replace-min semantics `Query.java:61-78`, ordering
+    * pinned). */
   final class TopK(k: Int) {
-    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    private val sims = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var size = 0
     def offer(docId: Long, sim: Double): Unit = {
-      buf += ((docId, sim))
-      if (buf.length > math.max(k * 4, 64)) compact()
-    }
-    private def compact(): Unit = {
-      val sorted = buf.sortBy { case (id, s) => (-s, id) }.take(k)
-      buf.clear(); buf ++= sorted
+      if (size == k) {
+        val ws = sims(size - 1); val wi = ids(size - 1)
+        if (sim < ws || (sim == ws && docId >= wi)) return
+        size -= 1
+      }
+      var i = size
+      while (i > 0 && (sims(i - 1) < sim || (sims(i - 1) == sim && ids(i - 1) > docId))) {
+        sims(i) = sims(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      sims(i) = sim; ids(i) = docId
+      size += 1
     }
     def toHits(queryId: Long): Iterator[LinkHit] = {
-      val sorted = buf.sortBy { case (id, s) => (-s, id) }.take(k)
-      sorted.iterator.zipWithIndex.map { case ((id, s), r) =>
-        LinkHit(queryId, id, s, r + 1)
-      }
+      val s = size
+      (0 until s).iterator.map(r => LinkHit(queryId, ids(r), sims(r), r + 1))
     }
   }
 }

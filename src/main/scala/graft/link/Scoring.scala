@@ -4,10 +4,16 @@ import graft.model.{DocVec, TermRow}
 
 /** The custom weighted TF-IDF cosine kernel — exact port of
   * `SimilarityComputer.computeDocSimilarity` (`SimilarityComputer.java:456-550`)
-  * and `getBoostValue` (`:198-255`). Per-pair and allocation-light: called
-  * row-wise after the partKey equi-join, inside whole-stage-codegen'd typed
-  * stages. Accumulation runs in the query's term order — float-determinism is
-  * pinned (SURVEY.md §7.4-3).
+  * and `getBoostValue` (`:198-255`).
+  *
+  * Representation: both sides are compiled to primitive arrays (term-type
+  * chars, int text-hashes sorted for binary search, idf doubles). Per-pair
+  * work is then sequential array scans + int compares instead of per-term
+  * HashMap chases — the kernel is memory-bound at high core counts, and the
+  * compact layout keeps the per-doc working set to a few hundred contiguous
+  * bytes. Accumulation runs in the query's term order — float determinism is
+  * pinned (SURVEY.md §7.4-3). String equality is verified on every hash hit,
+  * so results are exactly the reference semantics.
   */
 object Scoring {
   // `SimilarityComputer.java:71-77`
@@ -25,43 +31,167 @@ object Scoring {
     case _               => t.idf
   }
 
-  /** `SimilarityComputer.getBoostValue` `:198-255`. When forDoc is false,
-    * dterm is null by contract. */
-  def boost(forDoc: Boolean, qdoc: DocVec, qterm: TermRow, ddoc: DocVec,
-      dterm: TermRow): Double = {
-    val t = if (forDoc) dterm.t else qterm.t
+  private def effIdfC(t: Char, idf: Double): Double = t match {
+    case '1' | '2' | '3' => 0.0
+    case '4'             => 1.0
+    case _               => idf
+  }
+
+  /** Compiled term-vector side. `lookupLast` mirrors `Document.getTerm`
+    * insertion-order overwrite (`Document.java:111-117`: last term with a
+    * given text wins); `lookupFirstX` mirrors the coord/density pre-pass
+    * first-match scan over Text terms (`SimilarityComputer.java:466-479`). */
+  class Side(val doc: DocVec) {
+    val n: Int = doc.nTerms
+    val types: String = doc.tTypes
+    val idfs: Array[Double] = doc.idfs
+    // Term texts packed into ONE contiguous char array + offsets: equality
+    // checks during scoring scan local memory instead of chasing scattered
+    // String objects (the kernel is memory-bound at high core counts).
+    val offs: Array[Int] = new Array[Int](n + 1)
+    val packed: Array[Char] = {
+      var total = 0
+      var i = 0
+      while (i < n) { offs(i) = total; total += doc.texts(i).length; i += 1 }
+      offs(n) = total
+      val arr = new Array[Char](total)
+      i = 0
+      while (i < n) {
+        doc.texts(i).getChars(0, doc.texts(i).length, arr, offs(i)); i += 1
+      }
+      arr
+    }
+    val hashes: Array[Int] = Array.tabulate(n)(i => hashRange(packed, offs(i), offs(i + 1)))
+    private val sortedHash: Array[Int] = new Array[Int](n)
+    private val sortedIdx: Array[Int] = new Array[Int](n)
+    var roadNumIdx: Int = types.indexOf('N')
+
+    {
+      // insertion-sort by (hash, idx) — n is small (~10-40 terms)
+      var i = 0
+      while (i < n) { sortedHash(i) = hashes(i); sortedIdx(i) = i; i += 1 }
+      i = 1
+      while (i < n) {
+        val h = sortedHash(i); val ix = sortedIdx(i)
+        var j = i - 1
+        while (j >= 0 && (sortedHash(j) > h)) {
+          sortedHash(j + 1) = sortedHash(j); sortedIdx(j + 1) = sortedIdx(j); j -= 1
+        }
+        sortedHash(j + 1) = h; sortedIdx(j + 1) = ix
+        i += 1
+      }
+    }
+
+    @inline private def eqRange(ix: Int, o: Side, oIx: Int): Boolean = {
+      val a = offs(ix); val b = offs(ix + 1)
+      val oa = o.offs(oIx); val ob = o.offs(oIx + 1)
+      if (b - a != ob - oa) return false
+      var i = a; var j = oa
+      while (i < b) {
+        if (packed(i) != o.packed(j)) return false
+        i += 1; j += 1
+      }
+      true
+    }
+
+    private def lowerBound(h: Int): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sortedHash(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    /** Index of the LAST term (in doc order) whose text equals the other
+      * side's term `oIx`, or -1. */
+    def lookupLast(h: Int, o: Side, oIx: Int): Int = {
+      var p = lowerBound(h)
+      var best = -1
+      while (p < n && sortedHash(p) == h) {
+        val ix = sortedIdx(p)
+        if (ix > best && eqRange(ix, o, oIx)) best = ix
+        p += 1
+      }
+      best
+    }
+
+    /** Index of the FIRST Text-type term with equal text, or -1. */
+    def lookupFirstX(h: Int, o: Side, oIx: Int): Int = {
+      var p = lowerBound(h)
+      var best = Int.MaxValue
+      while (p < n && sortedHash(p) == h) {
+        val ix = sortedIdx(p)
+        if (types.charAt(ix) == 'X' && ix < best && eqRange(ix, o, oIx)) best = ix
+        p += 1
+      }
+      if (best == Int.MaxValue) -1 else best
+    }
+  }
+
+  /** String.hashCode over a char range (same formula, no allocation). */
+  @inline private def hashRange(a: Array[Char], from: Int, until: Int): Int = {
+    var h = 0
+    var i = from
+    while (i < until) { h = 31 * h + a(i); i += 1 }
+    h
+  }
+
+  /** Query-side wrapper with reusable scratch (NOT thread-safe; one per query
+    * per task, reused across the candidate docs). */
+  final class QuerySide(doc: DocVec) extends Side(doc) {
+    val effIdfs: Array[Double] = Array.tabulate(n)(i => effIdfC(types.charAt(i), idfs(i)))
+    /** matched doc-term index per query term for the current candidate. */
+    val dIdx: Array[Int] = new Array[Int](n)
+    var qTextTermCount: Int = 0
+    locally {
+      var i = 0
+      while (i < n) { if (types.charAt(i) == 'X') qTextTermCount += 1; i += 1 }
+    }
+  }
+
+  /** Back-compat aliases (tests / broadcast variant). */
+  type DocSide = Side
+  def DocSideOf(d: DocVec): Side = new Side(d)
+
+  /** `SimilarityComputer.getBoostValue` `:198-255` on compiled sides.
+    * When forDoc is false, dType is ignored (query term type drives). */
+  private def boostC(forDoc: Boolean, q: Side, qType: Char, d: Side,
+      dType: Char): Double = {
+    val t = if (forDoc) dType else qType
+    val qd = q.doc; val dd = d.doc
     t match {
-      case "1" | "2" | "3" => BOOST_XL // province/city/district
-      case "4"             => BOOST_XS // street
-      case "X"             => BOOST_M  // text
-      case "T" =>
-        if (qdoc.town != null && ddoc.town != null) BOOST_L else BOOST_XS
-      case "V" =>
+      case '1' | '2' | '3' => BOOST_XL
+      case '4'             => BOOST_XS
+      case 'X'             => BOOST_M
+      case 'T' =>
+        if (qd.town != null && dd.town != null) BOOST_L else BOOST_XS
+      case 'V' =>
         var value = BOOST_XS
-        if (qdoc.village != null && ddoc.village != null && qdoc.town != null) {
-          if (qdoc.town == ddoc.town) {
-            if (qdoc.village == ddoc.village) value = BOOST_XL else value = BOOST_L
-          } else if (ddoc.town != null) {
+        if (qd.village != null && dd.village != null && qd.town != null) {
+          if (qd.town == dd.town) {
+            if (qd.village == dd.village) value = BOOST_XL else value = BOOST_L
+          } else if (dd.town != null) {
             value = if (!forDoc) BOOST_L else BOOST_S
           }
         }
         value
-      case "R" =>
+      case 'R' =>
         var value = BOOST_M
-        if (qdoc.town == null || qdoc.village == null) {
-          if (qdoc.road != null && ddoc.road != null) value = BOOST_L
+        if (qd.town == null || qd.village == null) {
+          if (qd.road != null && dd.road != null) value = BOOST_L
         }
         value
-      case "N" =>
+      case 'N' =>
         var value = BOOST_M
-        if (qdoc.town == null || qdoc.village == null) {
-          if (qdoc.roadNumValue > 0 && ddoc.roadNumValue > 0 &&
-              qdoc.road != null && qdoc.road == ddoc.road) {
-            if (qdoc.roadNumValue == ddoc.roadNumValue) value = 3
+        if (qd.town == null || qd.village == null) {
+          if (qd.roadNumValue > 0 && dd.roadNumValue > 0 &&
+              qd.road != null && qd.road == dd.road) {
+            if (qd.roadNumValue == dd.roadNumValue) value = 3
             else value =
               if (forDoc)
                 (1.0 / math.sqrt(math.sqrt(
-                  math.abs(qdoc.roadNumValue - ddoc.roadNumValue) + 1.0))) * BOOST_L
+                  math.abs(qd.roadNumValue - dd.roadNumValue) + 1.0))) * BOOST_L
               else 3
           }
         }
@@ -70,80 +200,77 @@ object Scoring {
     }
   }
 
-  /** Pre-built doc-side lookup structure for repeated scoring of one candidate
-    * against many queries (or vice versa). Later terms with identical text win,
-    * matching `Document.buildMapCache` insertion order (`Document.java:111-117`).
-    */
-  final class DocSide(val doc: DocVec) {
-    val byText: java.util.HashMap[String, TermRow] = {
-      val m = new java.util.HashMap[String, TermRow](doc.terms.size)
-      doc.terms.foreach(t => m.put(t.text, t))
-      m
-    }
-    val roadNumTerm: TermRow = doc.terms.find(_.t == "N").orNull
-  }
-
-  /** Weighted cosine similarity of a query doc vs one candidate doc
-    * (`computeDocSimilarity` `:456-550`). Returns 0 when either norm is 0. */
-  def score(qdoc: DocVec, dside: DocSide): Double = {
-    val ddoc = dside.doc
-    // 1. Text-term coord + density pre-pass (`:461-498`).
-    var qTextTermCount = 0
+  /** Weighted cosine similarity (`computeDocSimilarity` `:456-550`).
+    * Single lookup pass fills q.dIdx; the pre-pass and the accumulation both
+    * read it. Returns 0 when either norm is 0. */
+  def score(q: QuerySide, d: Side): Double = {
+    val n = q.n
+    // Pass 1: resolve each query term against the doc; coord/density stats.
     var dTextTermMatchCount = 0
     var matchStart = -1
     var matchEnd = -1
-    val dterms = ddoc.terms
-    qdoc.terms.foreach { qterm =>
-      if (qterm.t == "X") {
-        qTextTermCount += 1
-        var i = 0
-        var broke = false
-        while (i < dterms.size && !broke) {
-          val term = dterms(i)
-          if (term.t == "X" && term.text == qterm.text) {
-            dTextTermMatchCount += 1
-            if (matchStart == -1) { matchStart = i; matchEnd = i }
-            else if (i > matchEnd) matchEnd = i
-            else if (i < matchStart) matchStart = i
-            broke = true
-          }
-          i += 1
+    var i = 0
+    while (i < n) {
+      val qt = q.types.charAt(i)
+      if (qt == 'X') {
+        // Pre-pass semantics: FIRST Text term with equal text
+        // (`SimilarityComputer.java:466-479`).
+        val xi = d.lookupFirstX(q.hashes(i), q, i)
+        if (xi >= 0) {
+          dTextTermMatchCount += 1
+          if (matchStart == -1) { matchStart = xi; matchEnd = xi }
+          else if (xi > matchEnd) matchEnd = xi
+          else if (xi < matchStart) matchStart = xi
         }
       }
+      // Main-loop lookup semantics: LAST term with equal text
+      // (`Document.getTerm` via buildMapCache overwrite).
+      var di = d.lookupLast(q.hashes(i), q, i)
+      if (di < 0 && qt == 'N') {
+        // RoadNum fuzzy fallback: same road, different number (`:513-517`);
+        // the query RoadNum's backref is its doc's road (`Term.java:73-78`).
+        val qref = q.doc.road
+        if (d.doc.roadNum != null && d.doc.road != null && qref != null &&
+            d.doc.road == qref)
+          di = d.roadNumIdx
+      }
+      q.dIdx(i) = di
+      i += 1
     }
     var textTermDensity = 1.0
     var textTermCoord = 1.0
-    if (qTextTermCount > 0)
-      textTermCoord = math.sqrt(dTextTermMatchCount * 1.0 / qTextTermCount) * 0.5 + 0.5
-    if (qTextTermCount >= 2 && dTextTermMatchCount >= 2)
+    if (q.qTextTermCount > 0)
+      textTermCoord =
+        math.sqrt(dTextTermMatchCount * 1.0 / q.qTextTermCount) * 0.5 + 0.5
+    if (q.qTextTermCount >= 2 && dTextTermMatchCount >= 2)
       textTermDensity =
         math.sqrt(dTextTermMatchCount * 1.0 / (matchEnd - matchStart + 1)) * 0.5 + 0.5
 
-    // 2. Accumulate over query terms in order (`:507-541`).
+    // Pass 2: accumulate over query terms in order (`:507-541`).
     var sumQD = 0.0; var sumQQ = 0.0; var sumDD = 0.0
-    qdoc.terms.foreach { qterm =>
-      val qboost = boost(forDoc = false, qdoc, qterm, ddoc, null)
-      val qtfidf = effIdf(qterm) * qboost
-      var dterm = dside.byText.get(qterm.text)
-      if (dterm == null && qterm.t == "N") {
-        // RoadNum fuzzy fallback: same road, different number (`:513-517`).
-        if (ddoc.roadNum != null && ddoc.road != null && qterm.ref != null &&
-            ddoc.road == qterm.ref)
-          dterm = dside.roadNumTerm
-      }
+    i = 0
+    while (i < n) {
+      val qboost = boostC(forDoc = false, q, q.types.charAt(i), d, ' ')
+      val qtfidf = q.effIdfs(i) * qboost
+      val di = q.dIdx(i)
+      val dt = if (di >= 0) d.types.charAt(di) else ' '
       val dboost =
-        if (dterm == null) 0.0 else boost(forDoc = true, qdoc, qterm, ddoc, dterm)
-      val coord = if (dterm != null && dterm.t == "X") textTermCoord else 1.0
-      val density = if (dterm != null && dterm.t == "X") textTermDensity else 1.0
-      val dtfidf =
-        (if (dterm != null) effIdf(dterm) else effIdf(qterm)) * dboost * coord * density
+        if (di < 0) 0.0 else boostC(forDoc = true, q, q.types.charAt(i), d, dt)
+      val isX = dt == 'X'
+      val coord = if (isX) textTermCoord else 1.0
+      val density = if (isX) textTermDensity else 1.0
+      val dIdf = if (di >= 0) effIdfC(dt, d.idfs(di)) else q.effIdfs(i)
+      val dtfidf = dIdf * dboost * coord * density
       sumQQ += qtfidf * qtfidf
       sumQD += qtfidf * dtfidf
       sumDD += dtfidf * dtfidf
+      i += 1
     }
     if (sumDD == 0 || sumQQ == 0) 0.0
     else sumQD / math.sqrt(sumQQ * sumDD)
   }
 
-  def score(qdoc: DocVec, ddoc: DocVec): Double = score(qdoc, new DocSide(ddoc))
+  /** Convenience pairwise API (tests / oracle). */
+  def score(qdoc: DocVec, ddoc: DocVec): Double =
+    score(new QuerySide(qdoc), new Side(ddoc))
 }

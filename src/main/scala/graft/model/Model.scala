@@ -102,17 +102,34 @@ final case class InterpretedAddress(
 
 /** Document term vector of one address — the `.vt` row recast columnar
   * (`similarity/Document.java:11-19`; partKey format `pid-cid[-did]` per
-  * `SimilarityComputer.buildCacheKey` `SimilarityComputer.java:619-626`). */
+  * `SimilarityComputer.buildCacheKey` `SimilarityComputer.java:619-626`).
+  *
+  * Terms are stored as parallel arrays (`tTypes` packs one type char per
+  * term; `texts`/`idfs` align by position) instead of an array of structs:
+  * the doc side is replicated through the linking shuffle, and the flat
+  * layout is several times cheaper to serialize/deserialize than per-term
+  * struct rows. The only term backref (RoadNum→Road, `Term.java:73-78`) is
+  * recoverable from the pinned `road` column. */
 final case class DocVec(
     docId: Long,
     partKey: String,
-    terms: Seq[TermRow],
+    tTypes: String,
+    texts: Array[String],
+    idfs: Array[Double],
     town: String,
     village: String,
     road: String,
     roadNum: String,
     roadNumValue: Int
-)
+) {
+  def nTerms: Int = tTypes.length
+  def termType(i: Int): Char = tTypes.charAt(i)
+  /** View as TermRows (tests / oracle / IDF-key derivation). */
+  def terms: IndexedSeq[TermRow] = (0 until nTerms).map { i =>
+    TermRow(tTypes.charAt(i).toString, texts(i), idfs(i),
+      if (tTypes.charAt(i) == 'N') road else null)
+  }
+}
 
 /** A transcript turn — the primary pipeline input shape (BASELINE.json input_hint). */
 final case class Turn(

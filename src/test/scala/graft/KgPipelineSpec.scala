@@ -1,0 +1,200 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyse.DocAnalyser
+import graft.data.SynthCorpus
+import graft.kg.KgPipeline
+import graft.link.{Linker, Scoring}
+import graft.model._
+
+/** Differential oracle (SURVEY.md §5.2): the distributed Dataset pipeline must
+  * produce EXACTLY the result of a straight-line single-JVM implementation of
+  * the reference semantics (interpret → per-partition IDF → weighted cosine →
+  * bounded top-k) on the same deterministic synthetic corpus. This evidences
+  * triples P/R ≈ 1.0 (target ≥ 0.95) without MySQL/Dubbo.
+  */
+class KgPipelineSpec extends AnyFunSuite {
+  import GoldenFixtures.{dict => d0}
+
+  private lazy val spark = SparkTestBase.spark
+  private lazy val regions = d0.regions
+  private lazy val interp = GoldenFixtures.interpreter
+
+  private val TopN = 5
+
+  // --- single-JVM oracle -------------------------------------------------
+
+  private def oracleDocs(corpus: Seq[(Long, String)]): Seq[DocVec] = {
+    val visitor = interp.newVisitor()
+    corpus.flatMap { case (id, text) =>
+      val addr = interp.interpret(text, visitor)
+      if (addr == null || !addr.division.hasCity || !addr.division.hasDistrict) None
+      else {
+        val pk = interp.partKey(addr)
+        if (pk == null) None else Some(DocAnalyser.analyse(id, pk, addr))
+      }
+    }
+  }
+
+  /** Reference IDF (`SimilarityComputer.java:580-599`): occurrence counts over
+    * all docs of the partition, idf=ln(n/(df+1)) clamped, numeric/ASCII→2. */
+  private def oracleIdf(docs: Seq[DocVec]): Map[String, Map[String, Double]] = {
+    docs.groupBy(_.partKey).map { case (pk, ds) =>
+      val df = mutable.Map.empty[String, Int]
+      ds.foreach(_.terms.foreach { t =>
+        val k = DocAnalyser.idfKey(t)
+        df(k) = df.getOrElse(k, 0) + 1
+      })
+      val n = ds.size.toDouble
+      pk -> df.iterator.map { case (k, c) =>
+        val idf =
+          if (graft.util.Str.isNumericChars(k) || graft.util.Str.isAnsiChars(k)) 2.0
+          else math.max(0.0, math.log(n / (c + 1)))
+        k -> idf
+      }.toMap
+    }
+  }
+
+  private def stamp(doc: DocVec, idf: Map[String, Map[String, Double]]): DocVec = {
+    val m = idf.getOrElse(doc.partKey, Map.empty)
+    doc.copy(idfs = Array.tabulate(doc.nTerms) { i =>
+      m.getOrElse(DocAnalyser.idfKeyAt(doc, i), DocAnalyser.MissingIdf)
+    })
+  }
+
+  private def oracleTopK(q: DocVec, docs: Seq[DocVec]): Seq[(Long, Double)] =
+    docs.filter(_.partKey == q.partKey)
+      .map(d => (d.docId, Scoring.score(q, d)))
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+      .take(TopN)
+
+  // --- the test ----------------------------------------------------------
+
+  test("distributed pipeline == single-JVM oracle (triples P/R = 1.0, sims to 1e-12)") {
+    val s = spark
+    import s.implicits._
+
+    val corpusRows = SynthCorpus.corpus(regions, 800, 6, seed = 42)
+    val turnRows = SynthCorpus.transcripts(regions, 150, 6, seed = 7)
+
+    val bdict = s.sparkContext.broadcast(d0)
+    val corpusDs = s.createDataset(corpusRows).repartition(7)
+    val turnsDs = s.createDataset(turnRows).repartition(5)
+
+    val (mentions, triples, hits) =
+      KgPipeline.run(s, turnsDs, corpusDs, bdict, TopN)
+
+    // Oracle side.
+    val oDocs = oracleDocs(corpusRows)
+    val oIdf = oracleIdf(oDocs)
+    val oDocsIdf = oDocs.map(stamp(_, oIdf))
+    val visitor = interp.newVisitor()
+    val oMentions = turnRows.flatMap { t =>
+      val hit = KgPipeline.detectMention(t.text, interp, visitor)
+      if (hit == null) None
+      else {
+        val (start, addr) = hit
+        val pk = interp.partKey(addr)
+        if (pk == null) None
+        else {
+          val qid = KgPipeline.queryId(t.conv_id, t.turn_idx)
+          Some((t.conv_id, t.turn_idx, start, interp.toInterpreted(qid, addr),
+            stamp(DocAnalyser.analyse(qid, pk, addr), oIdf)))
+        }
+      }
+    }
+    assert(oMentions.nonEmpty, "fixture produced no mentions")
+
+    // 1. Mentions identical.
+    val gotMentions = mentions.collect()
+      .map(m => (m.convId, m.turnIdx, m.start, m.addr)).toSet
+    val expMentions = oMentions.map(m => (m._1, m._2, m._3, m._4)).toSet
+    assert(gotMentions == expMentions)
+
+    // 2. Link hits identical (ids, ranks; similarities to 1e-12).
+    val gotHits = hits.collect()
+      .groupBy(_.queryId)
+      .view.mapValues(_.sortBy(_.rank).map(h => (h.docId, h.similarity)).toSeq)
+      .toMap
+    var checkedHits = 0
+    oMentions.foreach { case (_, _, _, _, qdoc) =>
+      val exp = oracleTopK(qdoc, oDocsIdf)
+      val got = gotHits.getOrElse(qdoc.docId, Seq.empty)
+      assert(got.map(_._1) == exp.map(_._1),
+        s"query ${qdoc.docId}: ids ${got.map(_._1)} != ${exp.map(_._1)}")
+      got.zip(exp).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-12, s"sim $gs vs $es")
+      }
+      checkedHits += got.size
+    }
+    assert(checkedHits > 0, "no link hits produced")
+    assert(gotHits.keySet == oMentions.map(_._5.docId).toSet
+      .intersect(gotHits.keySet) && gotHits.keySet.subsetOf(
+        oMentions.map(_._5.docId).toSet))
+
+    // 3. Triples: exact set equality against oracle-derived triples.
+    val expTriples = oMentions.flatMap { case (convId, turnIdx, _, a, qdoc) =>
+      val subj = s"$convId#$turnIdx"
+      val pk = qdoc.partKey
+      val base = Seq.newBuilder[Triple]
+      def reg(pred: String, id: Long): Unit =
+        if (id > 0) base += Triple(subj, pred, s"region:$id", 0.0, pk)
+      reg("hasProvince", a.pid); reg("hasCity", a.cid); reg("hasDistrict", a.did)
+      reg("hasStreet", a.streetId); reg("hasTown", a.townId); reg("hasVillage", a.villageId)
+      if (a.road.nonEmpty) base += Triple(subj, "hasRoad", a.road, 0.0, pk)
+      if (a.roadNum.nonEmpty) base += Triple(subj, "hasRoadNum", a.roadNum, 0.0, pk)
+      if (a.buildingNum.nonEmpty) base += Triple(subj, "hasBuildingNum", a.buildingNum, 0.0, pk)
+      if (a.text.nonEmpty) base += Triple(subj, "residualText", a.text, 0.0, pk)
+      base.result() ++ oracleTopK(qdoc, oDocsIdf).map { case (docId, sim) =>
+        Triple(subj, "linkedTo", s"addr:$docId", sim, pk)
+      }
+    }.toSet
+
+    val gotTriples = triples.collect().toSet
+    // similarity is a Double inside Triple; compare with tolerance by aligning keys
+    def key(t: Triple) = (t.subj, t.pred, t.obj, t.partKey)
+    assert(gotTriples.map(key) == expTriples.map(key),
+      s"triple key sets differ: extra=${(gotTriples.map(key) -- expTriples.map(key)).take(5)} " +
+      s"missing=${(expTriples.map(key) -- gotTriples.map(key)).take(5)}")
+    val expByKey = expTriples.map(t => key(t) -> t.score).toMap
+    gotTriples.foreach(t => assert(math.abs(t.score - expByKey(key(t))) < 1e-12))
+  }
+
+  test("determinism across parallelism levels") {
+    val s = spark
+    import s.implicits._
+    val corpusRows = SynthCorpus.corpus(regions, 300, 4, seed = 11)
+    val turnRows = SynthCorpus.transcripts(regions, 60, 4, seed = 13)
+    val bdict = s.sparkContext.broadcast(d0)
+
+    def runWith(parts: Int): Set[(String, String, String, String, Long)] = {
+      val (_, triples, _) = KgPipeline.run(s,
+        s.createDataset(turnRows).repartition(parts),
+        s.createDataset(corpusRows).repartition(parts), bdict, TopN)
+      triples.collect().map(t =>
+        (t.subj, t.pred, t.obj, t.partKey,
+          java.lang.Double.doubleToLongBits(t.score))).toSet
+    }
+    assert(runWith(2) == runWith(9))
+  }
+
+  test("turn text round-trips byte-identically under (conv_id, turn_idx) order") {
+    val s = spark
+    import s.implicits._
+    val turnRows = SynthCorpus.transcripts(regions, 50, 4, seed = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    s.createDataset(turnRows).repartition(6)
+      .write.mode("overwrite").parquet(dir)
+    val back = s.read.parquet(dir).as[Turn].collect()
+      .sortBy(t => (t.conv_id, t.turn_idx))
+    val orig = turnRows.sortBy(t => (t.conv_id, t.turn_idx))
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.text == o.text && b.conv_id == o.conv_id && b.turn_idx == o.turn_idx)
+    }
+  }
+}
