@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnOps, DedupOps, TextOps}
+
+/** Unit specs for the training-data operators (dedup / similarity search /
+  * text analysis) on small in-memory frames; the DuckDB oracle covers them
+  * end-to-end at driver scale. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "the quick brown fox jumped over the lazy dog"), // near dup
+      (3L, "completely different content about spark engines"),
+      (4L, "spark engines process completely different content")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per text") {
+    val out = DedupOps.exact(docsDf).collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(1) == 2L).get // dup_count == 2
+    assert(dup.getLong(0) == 0L)
+  }
+
+  test("ngram jaccard: identical texts score 1, near-dups high, unrelated low") {
+    val out = DedupOps.ngramJaccard(docsDf, col("doc_id") < 3, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) > 0.7)
+    assert(out.getOrElse((0L, 3L), 0.0) < 0.2)
+  }
+
+  test("minhash+lsh finds exact and near dups as candidates") {
+    val sig = DedupOps.minHashSignature(docsDf, "doc_id", "text", n = 3, k = 32)
+    assert(sig.count() == 5)
+    val pairs = DedupOps.lshCandidates(sig, k = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup not an LSH candidate: $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near dup not an LSH candidate: $pairs")
+  }
+
+  test("simhash: identical fingerprints for dups, small hamming for near-dups") {
+    val s = spark
+    val fp = DedupOps.simHash(docsDf, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <= 20)
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(3L)) >
+      java.lang.Long.bitCount(fp(0L) ^ fp(2L)))
+  }
+
+  test("brute-force cosine top-k is exact and ordered; lsh candidates subset") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val top = AnnOps.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), k = 5)
+    val rows = top.collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val lsh = AnnOps.lshTopK(vecs, vecs.where(col("vec_id") < 3), k = 5,
+      dim = 16, bits = 2).collect()
+    // LSH results must be a subset of the same-bucket pairs scored exactly:
+    // every reported cosine must equal the brute-force cosine for that pair.
+    val brute = AnnOps.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), k = 49)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("text ops: token counts, quality, langid, fingerprints") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "the cat and the dog of the house"),
+      (1L, "der hund und die katze und der vogel")).toDF("doc_id", "text")
+    val tc = TextOps.tokenCounts(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_words")).toMap
+    assert(tc(0L) == 8 && tc(1L) == 8)
+    val lang = TextOps.langIdGuess(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+    assert(lang(0L) == "en" && lang(1L) == "de")
+    val q = TextOps.qualitySignals(df).where(col("doc_id") === 0).head()
+    assert(q.getAs[Long]("n_len") == 32L)
+    val fp = TextOps.fingerprints(df).collect()
+    assert(fp.map(_.getAs[String]("md5")).distinct.length == 2)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.SynthCorpus
+import graft.kg.KgPipeline
+import graft.model._
+import graft.pipeline.{KgJob, StageRunner}
+
+/** Checkpointed-stage runner: resume skips completed stages, metrics carry
+  * per-partition lineage, and a resumed run's output is identical to a clean
+  * run (SURVEY.md §7.4-6). */
+class CheckpointSpec extends AnyFunSuite {
+  import GoldenFixtures.{dict => d0}
+  private lazy val spark = SparkTestBase.spark
+
+  test("resume skips completed stages; outputs identical; metrics written") {
+    val s = spark
+    import s.implicits._
+    val corpus = SynthCorpus.corpus(d0.regions, 300, 4, seed = 21)
+    val turns = SynthCorpus.transcripts(d0.regions, 60, 4, seed = 22)
+    val bdict = s.sparkContext.broadcast(d0)
+    val root1 = Files.createTempDirectory("graft-ckpt1").toString
+    val root2 = Files.createTempDirectory("graft-ckpt2").toString
+
+    def inputs() = (s.createDataset(turns).repartition(5),
+      s.createDataset(corpus).repartition(5))
+
+    // Clean full run.
+    val (t1, c1) = inputs()
+    val clean = KgJob.run(s, t1, c1, bdict, 5, root1, "run-a", 5)
+      .collect().map(t => (t.subj, t.pred, t.obj,
+        java.lang.Double.doubleToLongBits(t.score))).toSet
+
+    // Simulated crash: run only the first two stages, then "die".
+    val runner = StageRunner(s, root2, "run-b1")
+    val (t2, c2) = inputs()
+    runner.stage[DocVec]("docs")(graft.link.Linker.buildDocs(s, c2, bdict))
+    runner.stage[IdfRow]("idf") {
+      graft.link.Linker.buildIdf(s, s.read.parquet(s"$root2/docs").as[DocVec])
+    }
+    assert(runner.isComplete("docs") && runner.isComplete("idf"))
+    assert(!runner.isComplete("mentions"))
+    // A partial, uncommitted stage dir must not count as complete.
+    Files.createDirectories(java.nio.file.Paths.get(s"$root2/mentions"))
+    Files.writeString(java.nio.file.Paths.get(s"$root2/mentions/part-junk"), "x")
+    assert(!runner.isComplete("mentions"))
+
+    // Resume: docs/idf must NOT be recomputed (tracked via stage mtimes).
+    val docsSuccessMtime =
+      Files.getLastModifiedTime(java.nio.file.Paths.get(s"$root2/docs/_SUCCESS"))
+    val (t3, c3) = inputs()
+    val resumed = KgJob.run(s, t3, c3, bdict, 5, root2, "run-b2", 5)
+      .collect().map(t => (t.subj, t.pred, t.obj,
+        java.lang.Double.doubleToLongBits(t.score))).toSet
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root2/docs/_SUCCESS")) == docsSuccessMtime,
+      "completed stage was recomputed on resume")
+
+    assert(resumed == clean, "resumed run diverged from clean run")
+
+    // Per-partition lineage/metrics exist for every stage, both runIds.
+    val m = StageRunner(s, root2, "x").metrics().collect()
+    val stages = m.map(_.stage).toSet
+    assert(Set("docs", "idf", "docs_idf", "mentions", "hits", "triples")
+      .subsetOf(stages), s"stages missing in metrics: $stages")
+    assert(m.exists(_.runId == "run-b1") && m.exists(_.runId == "run-b2"))
+    assert(m.forall(_.rowsOut >= 0) && m.exists(_.rowsOut > 0))
+  }
+}
+
+/** `.vt` serialization golden — format from `SimilarityServiceTest.java:58-89`
+  * with the code-truth '4' street code (`TermType.java:31`). */
+class VtFormatSpec extends AnyFunSuite {
+  import graft.analyse.VtFormat
+
+  test("serialize golden") {
+    val doc = DocVec(11981L, "pk", "1234R",
+      Array("山东省", "青岛市", "李沧区", "李沧街道", "北崂路"),
+      new Array[Double](5), null, null, "北崂路", null, 0)
+    assert(VtFormat.serialize(doc) == "11981$1山东省|2青岛市|3李沧区|4李沧街道|R北崂路")
+  }
+
+  test("round-trip with pinned slots") {
+    val line = "955163$R和平里中街|N17号|X天|X元|X和"
+    val doc = VtFormat.deserialize(line, "pk")
+    assert(doc.docId == 955163L)
+    assert(doc.road == "和平里中街")
+    assert(doc.roadNum == "17号")
+    assert(doc.roadNumValue == 17)
+    assert(doc.tTypes == "RNXXX")
+    assert(VtFormat.serialize(doc) == line)
+    assert(VtFormat.deserialize("", "pk") == null)
+    assert(VtFormat.deserialize("nodollar", "pk") == null)
+  }
+}
+
+/** Structured Streaming: the stateless mention stage produces the same
+  * results as batch; the sessionizer closes conversations on timeout. */
+class StreamingSpec extends AnyFunSuite {
+  import GoldenFixtures.{dict => d0}
+  private lazy val spark = SparkTestBase.spark
+
+  test("streaming mention detection == batch mention detection") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val turns = SynthCorpus.transcripts(d0.regions, 40, 4, seed = 33)
+    val bdict = s.sparkContext.broadcast(d0)
+
+    val input = MemoryStream[Turn]
+    val q = graft.streaming.TranscriptStream
+      .mentions(s, input.toDS(), bdict)
+      .writeStream.format("memory").queryName("m_out")
+      .outputMode("append").start()
+    try {
+      input.addData(turns.take(20))
+      q.processAllAvailable()
+      input.addData(turns.drop(20))
+      q.processAllAvailable()
+      val streamed = s.table("m_out").as[graft.kg.MentionDoc].collect()
+        .map(m => (m.convId, m.turnIdx, m.start)).toSet
+      val batch = KgPipeline
+        .detectMentions(s, s.createDataset(turns), bdict).collect()
+        .map(m => (m.convId, m.turnIdx, m.start)).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window counts run on a stream") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val turns = SynthCorpus.transcripts(d0.regions, 30, 4, seed = 34)
+    val input = MemoryStream[Turn]
+    val q = graft.streaming.TranscriptStream.turnCounts(input.toDS())
+      .writeStream.format("memory").queryName("w_out")
+      .outputMode("append").start()
+    try {
+      input.addData(turns)
+      q.processAllAvailable()
+      // Append mode only emits closed windows; push the watermark forward.
+      val late = turns.head.copy(
+        ts = new java.sql.Timestamp(turns.map(_.ts.getTime).max + 3 * 3600 * 1000L))
+      input.addData(Seq(late))
+      q.processAllAvailable()
+      assert(s.table("w_out").count() > 0)
+    } finally q.stop()
+  }
+}

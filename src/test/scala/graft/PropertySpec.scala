@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyse.Segmenter
+import graft.util.Str
+
+/** Property-based invariants (SURVEY.md §5.3). */
+class PropertySpec extends AnyFunSuite {
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val cjkChar = Gen.choose(0x4e00, 0x9fa5).map(_.toChar)
+  private val mixedChar = Gen.frequency(
+    (6, cjkChar),
+    (2, Gen.alphaNumChar),
+    (1, Gen.oneOf(" ,，。·;；:：、！@$%*^`~=+&'\"|_-\\/".toSeq)),
+    (1, Gen.oneOf("路街道镇乡村区县市省号栋单元室甲乙丙十一二三四五六七八九".toSeq)))
+  private val mixedText = Gen.listOf(mixedChar).map(_.mkString)
+
+  test("segmentation is lossless: tokens concatenate back to the text") {
+    check(Prop.forAll(mixedText) { text =>
+      Segmenter.segment(text).mkString == text
+    })
+  }
+
+  test("translateRoadNum is total on realistic road numbers") {
+    val roadNum = for {
+      n <- Gen.choose(0, 99999)
+      pre <- Gen.oneOf("", "甲", "乙", "丙")
+      suf <- Gen.oneOf("", "号", "号院", "号楼", "巷", "弄")
+      cjk <- Gen.oneOf("", "十", "十五", "三十", "四十七", "一二三")
+      useCjk <- Gen.oneOf(true, false)
+    } yield if (useCjk) pre + cjk + suf else pre + n + suf
+    check(Prop.forAll(roadNum) { s =>
+      Segmenter.translateRoadNum(s) >= 0
+    })
+  }
+
+  test("interpret is deterministic and never throws on mixed text") {
+    val interp = GoldenFixtures.interpreter
+    check(Prop.forAll(mixedText) { text =>
+      val v1 = interp.newVisitor()
+      val v2 = interp.newVisitor()
+      val a = interp.interpret(text, v1)
+      val b = interp.interpret(text, v2)
+      if (a == null) b == null
+      else {
+        interp.toInterpreted(0L, a) == interp.toInterpreted(0L, b) &&
+        a.rawText == text.trim
+      }
+    })
+  }
+
+  test("visitor reuse equals fresh visitor (per-partition reuse safety)") {
+    val interp = GoldenFixtures.interpreter
+    val shared = interp.newVisitor()
+    check(Prop.forAll(Gen.listOfN(3, mixedText)) { texts =>
+      texts.forall { text =>
+        val fresh = interp.newVisitor()
+        val a = interp.interpret(text, shared)
+        val b = interp.interpret(text, fresh)
+        if (a == null) b == null
+        else interp.toInterpreted(0L, a) == interp.toInterpreted(0L, b)
+      }
+    })
+  }
+
+  test("inclusive-end substring laws") {
+    val s = Gen.alphaNumStr
+    check(Prop.forAll(s, Gen.choose(-2, 12), Gen.choose(-2, 12)) { (t, b, e) =>
+      val r = Str.substring(t, b, e)
+      // never throws; result is a substring of t; bounds-safe
+      r == null || t == null || t.contains(r)
+    })
+  }
+
+  test("scoring is symmetric-safe: identical doc scores 1.0 against itself") {
+    val interp = GoldenFixtures.interpreter
+    val visitor = interp.newVisitor()
+    val corpus = graft.data.SynthCorpus.corpus(GoldenFixtures.regions, 50, 3, 5L)
+    var checked = 0
+    corpus.foreach { case (id, text) =>
+      val a = interp.interpret(text, visitor)
+      if (a != null && a.division.hasCity && a.division.hasDistrict) {
+        val doc0 = graft.analyse.DocAnalyser.analyse(id, "pk", a)
+        // Stamp non-zero idfs so norms are non-zero.
+        val doc = doc0.copy(idfs = Array.fill(doc0.nTerms)(1.5))
+        val sim = graft.link.Scoring.score(doc, doc)
+        assert(math.abs(sim - 1.0) < 1e-9, s"self-sim $sim for $text")
+        checked += 1
+      }
+    }
+    assert(checked > 10)
+  }
+}
