@@ -51,7 +51,7 @@ class PropertySpec extends AnyFunSuite {
       if (a == null) b == null
       else {
         interp.toInterpreted(0L, a) == interp.toInterpreted(0L, b) &&
-        a.rawText == text.trim
+        a.rawText == text // raw text is the round-trip invariant: untouched
       }
     })
   }
