@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal training-data plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in BATCHED per-partition
+  * stages (the Scala analog of `mapInPandas`: one decoder instance per
+  * partition, rows streamed through it in fixed-size batches).
+  *
+  * The actual codec work is STUBBED deterministically — no image/audio
+  * libraries ship in this container (and none may be added). Everything
+  * around the stub is real and tested: schemas, binary payload handling,
+  * batch shape, partitioning, and the feature-vector output contract. A
+  * deployment swaps `StubCodec` for a JNI/codec-backed implementation with
+  * the same signature.
+  */
+object MultimodalOps {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // image | audio | video
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate_hz: Int,
+      duration_ms: Int,
+      source: String
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      feature: Array[Float],
+      n_frames_sampled: Int,
+      decode_ms: Long
+  )
+
+  /** The codec seam. Deterministic fake: "decoding" hashes payload windows
+    * into a fixed-width feature vector; "frame sampling" picks every k-th
+    * byte window. Replace with a real decoder in deployment — the pipeline
+    * contract (batch-in/batch-out, one instance per partition) is unchanged. */
+  trait Codec extends Serializable {
+    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float]
+    def sampleFrames(content: Array[Byte], everyN: Int): Array[Array[Byte]]
+  }
+
+  object StubCodec extends Codec {
+    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) {
+        h = h * 31 + content(i)
+        out(i % dim) += ((h >>> 16) & 0xffff) / 65536.0f - 0.5f
+        i += 1
+      }
+      out
+    }
+    def sampleFrames(content: Array[Byte], everyN: Int): Array[Array[Byte]] = {
+      val frameSize = 16
+      val n = math.max(content.length / frameSize, 1)
+      (0 until n by everyN).map { f =>
+        content.slice(f * frameSize, math.min((f + 1) * frameSize, content.length))
+      }.toArray
+    }
+  }
+
+  /** Deterministic synthetic media table (seeded payloads; image/audio/video
+    * mix) — distributed generation, no external data. */
+  def synthesize(spark: SparkSession, n: Long, seed: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      val modality = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 64 + rnd.nextInt(192)
+      val content = new Array[Byte](len)
+      rnd.nextBytes(content)
+      MediaRow(i, modality, content,
+        width = if (modality != "audio") 16 * (1 + rnd.nextInt(4)) else 0,
+        height = if (modality != "audio") 16 * (1 + rnd.nextInt(4)) else 0,
+        sample_rate_hz = if (modality != "image") 16000 else 0,
+        duration_ms = if (modality != "image") 1000 + rnd.nextInt(9000) else 0,
+        source = s"synth-${i % 7}")
+    }
+  }
+
+  /** Batched feature extraction: one codec per partition, rows processed in
+    * `batchSize` groups (the batch boundary is where a real decoder would
+    * vectorize). Narrow stage — scales with input splits; shuffle-free. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      codec: Codec, dim: Int, frameEvery: Int,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val t0 = System.nanoTime()
+          val frames =
+            if (row.modality == "video") codec.sampleFrames(row.content, frameEvery)
+            else Array(row.content)
+          val feat = new Array[Float](dim)
+          frames.foreach { fr =>
+            val f = codec.decodeToFeatures(fr, dim)
+            var j = 0
+            while (j < dim) { feat(j) += f(j) / frames.length; j += 1 }
+          }
+          MediaFeatures(row.media_id, row.modality, feat, frames.length,
+            (System.nanoTime() - t0) / 1000000L)
+        }
+      }
+    }
+  }
+
+  /** Metadata-only projection (no payload read) — with parquet this prunes
+    * the binary column entirely at the scan (`ReadSchema` excludes content). */
+  def metadataStats(media: DataFrame): DataFrame =
+    media.groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("content"))).as("total_bytes"),
+        avg(col("duration_ms")).as("avg_duration_ms"))
+}

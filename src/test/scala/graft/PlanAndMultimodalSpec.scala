@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.MultimodalOps
+
+/** Physical-plan quality gates: the declarative plans must keep the
+  * properties the 100 TB story depends on — filter pushdown and column
+  * pruning at the parquet scan, broadcast joins for small dims, and
+  * whole-stage codegen over the hot projections. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_quantity") < 24 && col("l_discount") >= 0.05)
+      .select("l_extendedprice")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+  }
+
+  test("column pruning reaches the scan (2-column projection reads 2 columns)") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"),
+      readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("small-dim join is a broadcast hash join") {
+    val q3 = SparkEntry.queries("q3_segment_join")(spark, sfDir)
+    assert(planOf(q3).contains("BroadcastHashJoin"), planOf(q3))
+  }
+
+  test("hot projections stay in whole-stage codegen") {
+    val q = SparkEntry.queries("q12_quality")(spark, sfDir)
+    val codegen = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+
+  test("binary payload column prunes away for metadata-only aggregation") {
+    val dir = Files.createTempDirectory("graft-media").toString
+    MultimodalOps.synthesize(spark, 50, seed = 4).write
+      .mode("overwrite").parquet(dir)
+    val stats = MultimodalOps.metadataStats(
+      spark.read.parquet(dir).drop("content")
+        .withColumn("content", lit(Array.emptyByteArray)))
+    assert(stats.count() == 3)
+    // And the pruned scan itself: only requested columns in ReadSchema.
+    val meta = spark.read.parquet(dir).select("modality", "duration_ms")
+    val readSchema = planOf(meta).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("content"), readSchema)
+  }
+}
+
+/** Multimodal plumbing: schema, batch shape, determinism of the stubbed
+  * decode, video frame sampling. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("synthetic media is deterministic and typed") {
+    val a = MultimodalOps.synthesize(spark, 30, seed = 9).collect().sortBy(_.media_id)
+    val b = MultimodalOps.synthesize(spark, 30, seed = 9).collect().sortBy(_.media_id)
+    assert(a.length == 30)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.media_id == y.media_id && x.content.sameElements(y.content))
+    }
+    assert(a.map(_.modality).toSet == Set("image", "audio", "video"))
+    assert(a.filter(_.modality == "image").forall(m => m.width > 0 && m.sample_rate_hz == 0))
+  }
+
+  test("feature extraction: fixed dim, deterministic, frame-sampled video") {
+    val media = MultimodalOps.synthesize(spark, 30, seed = 9)
+    val f1 = MultimodalOps.extractFeatures(spark, media, MultimodalOps.StubCodec,
+      dim = 8, frameEvery = 2, batchSize = 7).collect().sortBy(_.media_id)
+    val f2 = MultimodalOps.extractFeatures(spark, media.repartition(5),
+      MultimodalOps.StubCodec, dim = 8, frameEvery = 2, batchSize = 3)
+      .collect().sortBy(_.media_id)
+    assert(f1.length == 30)
+    f1.zip(f2).foreach { case (x, y) =>
+      assert(x.feature.sameElements(y.feature),
+        s"partitioning/batch size changed features for ${x.media_id}")
+    }
+    assert(f1.forall(_.feature.length == 8))
+    val video = f1.filter(_.modality == "video")
+    assert(video.nonEmpty && video.forall(_.n_frames_sampled >= 1))
+    assert(f1.filter(_.modality == "image").forall(_.n_frames_sampled == 1))
+  }
+}
