@@ -17,6 +17,9 @@ object Profile {
       // AQE's size-based coalescing merges compute-heavy-but-small scoring
       // cells back together — partition sizes don't reflect O(|q|·|d|) work.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -73,6 +76,25 @@ object Profile {
         val sec = (System.nanoTime() - t0) / 1e9
         warm = queries.size.toLong * dsides.length / sec
         println(f"[kernel] rep$rep: ${queries.size.toLong * dsides.length} pairs in $sec%.2f s = ${warm / 1e6}%.2f M pairs/s (acc=$acc%.1f)")
+      }
+      // Thread-scaling of the raw kernel (no Spark): 8 vs 32 JVM threads.
+      for (nThreads <- Seq(8, 32)) {
+        val t0 = System.nanoTime()
+        val threads = (0 until nThreads).map { t =>
+          new Thread(() => {
+            queries.foreach { qd =>
+              val q = new graft.link.Scoring.QuerySide(qd)
+              var i = 0
+              var acc = 0.0
+              while (i < dsides.length) { acc += graft.link.Scoring.score(q, dsides(i)); i += 1 }
+              if (acc == Double.MinValue) println(acc)
+            }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val pairs = nThreads.toLong * queries.size * dsides.length
+        println(f"[kernel-mt] $nThreads threads: $pairs pairs in $sec%.2f s = ${pairs / sec / 1e6}%.2f M pairs/s")
       }
     }
     def time[T](name: String)(f: => T): T = {

@@ -215,6 +215,19 @@ object SparkEntry {
         .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+    // ---------------- multimodal plumbing (synthetic media; rows-only) -----
+    "q20_media_features" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val n = scaleOf(dir)._1.toLong // scale media count with sf
+      val media = MultimodalOps.synthesize(s, n, seed = 11)
+      import s.implicits._
+      MultimodalOps.extractFeatures(s, media, MultimodalOps.StubCodec,
+          dim = 16, frameEvery = 2)
+        .map(f => (f.media_id, f.modality, f.n_frames_sampled,
+          math.round(f.feature.map(v => v.toDouble * v).sum * 1000.0) / 1000.0))
+        .toDF("media_id", "modality", "n_frames", "feat_norm2")
+        .orderBy("media_id")
+    }),
     "q19_dict_export" -> ((s, dir) => {
       // Union/distinct/orderBy dictionary export (SURVEY.md §2 E4 analog).
       t(s, dir, "events").select(col("event_type").as("val"))

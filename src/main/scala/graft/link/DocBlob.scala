@@ -1,0 +1,120 @@
+package graft.link
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import graft.model.DocVec
+
+/** Custom binary block format for the similarity shuffle: many term-vector
+  * docs packed into ONE shuffle row (`(partKey, bytes)`), unpacked directly
+  * into the scoring kernel's compiled `Scoring.Side` layout.
+  *
+  * Why: the linking join replicates the doc side; shipping it as per-doc
+  * encoder rows made Spark's row machinery (nested-array deserialization,
+  * per-term String allocation, per-row iterator overhead) dominate the stage
+  * CPU — stack-sampled at ~½ the task time vs ~4s of actual scoring. Packing
+  * ~256 docs per row amortizes all per-row costs and the unpack allocates
+  * exactly the Side arrays (no intermediate DocVec, no per-term Strings).
+  *
+  * Layout per doc: docId i64 | n u16 | types chars | per-term text lens u16*n
+  * | packed text chars | idfs f64*n | presence flags u8 | [town|village|road|
+  * roadNum as u16 len + chars] | roadNumValue i32. Blob = u32 count + docs.
+  */
+object DocBlob {
+
+  /** Group a partition's docs by partKey and pack into blobs of at most
+    * `maxPerBlob` docs. Emits (partKey, blobBytes). */
+  def packGroups(it: Iterator[DocVec], maxPerBlob: Int): Iterator[(String, Array[Byte])] = {
+    val open = new scala.collection.mutable.HashMap[String, (ByteArrayOutputStream, DataOutputStream, Array[Int])]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    def flush(pk: String): Unit = {
+      open.remove(pk).foreach { case (bas, dos, cnt) =>
+        dos.flush()
+        val body = bas.toByteArray
+        val full = new ByteArrayOutputStream(body.length + 4)
+        val h = new DataOutputStream(full)
+        h.writeInt(cnt(0))
+        h.write(body)
+        h.flush()
+        out += ((pk, full.toByteArray))
+      }
+    }
+    it.foreach { d =>
+      val (_, dos, cnt) = open.getOrElseUpdate(d.partKey, {
+        val b = new ByteArrayOutputStream(16 * 1024)
+        (b, new DataOutputStream(b), Array(0))
+      })
+      writeDoc(dos, d)
+      cnt(0) += 1
+      if (cnt(0) >= maxPerBlob) flush(d.partKey)
+    }
+    open.keys.toSeq.foreach(flush)
+    out.iterator
+  }
+
+  private def writeStr(dos: DataOutputStream, s: String): Unit = {
+    if (s == null) dos.writeShort(0xffff)
+    else {
+      dos.writeShort(s.length)
+      dos.writeChars(s)
+    }
+  }
+
+  private def writeDoc(dos: DataOutputStream, d: DocVec): Unit = {
+    dos.writeLong(d.docId)
+    val n = d.nTerms
+    dos.writeShort(n)
+    dos.writeChars(d.tTypes)
+    var i = 0
+    while (i < n) { dos.writeShort(d.texts(i).length); i += 1 }
+    i = 0
+    while (i < n) { dos.writeChars(d.texts(i)); i += 1 }
+    i = 0
+    while (i < n) { dos.writeDouble(d.idfs(i)); i += 1 }
+    writeStr(dos, d.town)
+    writeStr(dos, d.village)
+    writeStr(dos, d.road)
+    writeStr(dos, d.roadNum)
+    dos.writeInt(d.roadNumValue)
+  }
+
+  /** Unpack a blob straight into compiled scoring sides. */
+  def unpackSides(blob: Array[Byte], out: scala.collection.mutable.ArrayBuffer[Scoring.Side]): Unit = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blob))
+    val count = in.readInt()
+    var k = 0
+    while (k < count) {
+      val docId = in.readLong()
+      val n = in.readShort().toInt
+      val typesArr = new Array[Char](n)
+      var i = 0
+      while (i < n) { typesArr(i) = in.readChar(); i += 1 }
+      val offs = new Array[Int](n + 1)
+      i = 0
+      var total = 0
+      while (i < n) { offs(i) = total; total += in.readShort(); i += 1 }
+      offs(n) = total
+      val packed = new Array[Char](total)
+      i = 0
+      while (i < total) { packed(i) = in.readChar(); i += 1 }
+      val idfs = new Array[Double](n)
+      i = 0
+      while (i < n) { idfs(i) = in.readDouble(); i += 1 }
+      def readStr(): String = {
+        val len = in.readShort() & 0xffff
+        if (len == 0xffff) null
+        else {
+          val a = new Array[Char](len)
+          var j = 0
+          while (j < len) { a(j) = in.readChar(); j += 1 }
+          new String(a)
+        }
+      }
+      val town = readStr(); val village = readStr()
+      val road = readStr(); val roadNum = readStr()
+      val rnv = in.readInt()
+      out += new Scoring.Side(docId, new String(typesArr), packed, offs, idfs,
+        town, village, road, roadNum, rnv)
+      k += 1
+    }
+  }
+}

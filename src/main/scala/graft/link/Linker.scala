@@ -129,43 +129,63 @@ object Linker {
     }
   }
 
-  /** Top-k linking via a GRID (blocked cross-join) cogroup on
-    * (partKey, docBucket, queryBucket). Ties pinned (desc similarity, asc
-    * docId) — documented divergence from the reference's scan-order tie-keep
-    * (`Query.java:73,89`; SURVEY.md §7.4-3). Hits with similarity <= 0 are
-    * dropped (`Query.addSimiDoc` `Query.java:62`).
+  /** Top-k linking: blocked cross join of queries × candidate docs within
+    * each partKey, with the DOC side shipped as packed binary blocks
+    * (`DocBlob`) and the QUERY side split into `qBuckets` by queryId hash.
+    * Ties pinned (desc similarity, asc docId) — documented divergence from
+    * the reference's scan-order tie-keep (`Query.java:73,89`; SURVEY.md
+    * §7.4-3). Hits with similarity <= 0 are dropped (`Query.addSimiDoc`
+    * `Query.java:62`).
     *
-    * Why a grid: partKey is the district key — power-law skewed and low-
-    * cardinality, so a plain partKey cogroup caps parallelism at #districts
-    * and the hot district serializes the O(|q|·|d|) scoring (measured 0.25
-    * scaling efficiency at 8→32 cores). A g×g grid splits docs into g
-    * buckets by docId and queries into g buckets by queryId, and replicates
-    * each side g ways (docs to every query bucket, queries to every doc
-    * bucket): every (query, doc) pair of a district meets in exactly one
-    * cell, parallelism becomes #districts × g², and shuffle volume grows
-    * only ×g per side (vs ×g² for one-sided salting at equal parallelism —
-    * row deserialization of the replicated side was the measured bottleneck).
-    * Per-doc-bucket partial top-k heaps are merged by a final tiny reduce on
-    * queryId. Results are bit-identical for any g. At extreme skew, derive g
-    * per district from a frequency sketch instead of a global constant. */
+    * Skew + shuffle design (measured on this box, see git history):
+    *  - partKey is the district key: power-law skewed, low cardinality. A
+    *    plain partKey cogroup caps parallelism at #districts and the hot
+    *    district serializes the O(|q|·|d|) pair scoring.
+    *  - queries are NOT replicated: each goes to one (partKey, qBucket)
+    *    cell and sees the full candidate set there → a single pass emits
+    *    final top-k, no merge step.
+    *  - docs ARE replicated ×qBuckets, but as ~`blobSize`-doc binary blocks:
+    *    per-row encoder deserialization (nested arrays, per-term Strings)
+    *    was ~half the stage CPU; blocks amortize it ~256× and unpack
+    *    directly into the kernel's compiled Side layout.
+    *  - `dBuckets` optionally splits the doc side too (cells then hold
+    *    1/dBuckets of a district's docs and partial top-k heaps merge in a
+    *    tiny final reduce) — the memory valve for districts whose full doc
+    *    set would not fit a task; results are bit-identical for any knobs.
+    */
   def linkTopK(spark: SparkSession, queries: Dataset[DocVec],
-      docs: Dataset[DocVec], topN: Int, grid: Int = 6): Dataset[LinkHit] = {
+      docs: Dataset[DocVec], topN: Int, qBuckets: Int = 64,
+      dBuckets: Int = 1, blobSize: Int = 256): Dataset[LinkHit] = {
     import spark.implicits._
-    val g = math.max(1, grid)
-    val qKeyed = queries.flatMap { q =>
-      val qb = java.lang.Long.remainderUnsigned(q.docId, g).toInt
-      (0 until g).map(db => (db, qb, q))
-    }.groupByKey { case (db, qb, q) => (q.partKey, db, qb) }
-    val dKeyed = docs.flatMap { d =>
-      val db = java.lang.Long.remainderUnsigned(d.docId, g).toInt
-      (0 until g).map(qb => (db, qb, d))
-    }.groupByKey { case (db, qb, d) => (d.partKey, db, qb) }
-    val partial = qKeyed.cogroup(dKeyed) { (_, qIt, dIt) =>
-      val dsides = dIt.map { case (_, _, d) => new Scoring.Side(d) }.toArray
-      if (dsides.isEmpty) Iterator.empty
-      else qIt.flatMap { case (_, _, q) => topKForQuery(q, dsides, topN) }
+    val g = math.max(1, qBuckets)
+    val db = math.max(1, dBuckets)
+
+    // db==1: each query visits exactly one cell. db>1: queries replicate
+    // across the doc buckets (partial top-k merged below).
+    val qKeyed = queries.flatMap(q => (0 until db).map(dbk => (dbk, q)))
+      .groupByKey { case (dbk, q) =>
+        (q.partKey, java.lang.Long.remainderUnsigned(q.docId, g).toInt, dbk)
+      }
+    // Pack per input partition, assign doc-buckets round-robin per blob,
+    // replicate each blob to every query bucket.
+    val blobs = docs.mapPartitions { it =>
+      var blobIdx = 0
+      DocBlob.packGroups(it, blobSize).map { case (pk, bytes) =>
+        blobIdx += 1
+        (pk, blobIdx % db, bytes)
+      }
     }
-    if (g == 1) partial
+    val dKeyed = blobs.flatMap { case (pk, dbk, bytes) =>
+      (0 until g).map(qb => (pk, qb, dbk, bytes))
+    }.groupByKey { case (pk, qb, dbk, _) => (pk, qb, if (db == 1) 0 else dbk) }
+
+    val partial = qKeyed.cogroup(dKeyed) { (_, qIt, dIt) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Scoring.Side]
+      dIt.foreach { case (_, _, _, bytes) => DocBlob.unpackSides(bytes, buf) }
+      if (buf.isEmpty) Iterator.empty
+      else scoreCellBlocked(qIt.map(_._2), buf.toArray, topN)
+    }
+    if (db == 1) partial
     else partial.groupByKey(_.queryId).flatMapGroups { (qid, hits) =>
       val heap = new TopK(topN)
       hits.foreach(h => heap.offer(h.docId, h.similarity))
@@ -193,7 +213,7 @@ object Linker {
           val ds = new Scoring.Side(d)
           qs.foreach { q =>
             val s = Scoring.score(q, ds)
-            if (s > 0) heaps.getOrElseUpdate(q.doc.docId, new TopK(topN)).offer(d.docId, s)
+            if (s > 0) heaps.getOrElseUpdate(q.docId, new TopK(topN)).offer(d.docId, s)
           }
         }
       }
@@ -214,10 +234,41 @@ object Linker {
     var i = 0
     while (i < dsides.length) {
       val s = Scoring.score(qside, dsides(i))
-      if (s > 0) heap.offer(dsides(i).doc.docId, s)
+      if (s > 0) heap.offer(dsides(i).docId, s)
       i += 1
     }
     heap.toHits(q.docId)
+  }
+
+  /** Cache-blocked cell scoring: iterate DOC CHUNKS (sized to stay cache-
+    * resident) in the outer loop and all of the cell's queries in the inner
+    * loop — each doc byte is pulled from DRAM once per chunk instead of once
+    * per query. At 32 cores the naive query-outer order saturated memory
+    * bandwidth (~2x CPU inflation vs 8 cores on >10k-doc cells). */
+  private val DocChunk = 1024
+  private def scoreCellBlocked(qs: Iterator[DocVec],
+      dsides: Array[Scoring.Side], topN: Int): Iterator[LinkHit] = {
+    val qsides = qs.map(new Scoring.QuerySide(_)).toArray
+    if (qsides.isEmpty) return Iterator.empty
+    val heaps = Array.fill(qsides.length)(new TopK(topN))
+    var c = 0
+    while (c < dsides.length) {
+      val end = math.min(c + DocChunk, dsides.length)
+      var qi = 0
+      while (qi < qsides.length) {
+        val q = qsides(qi)
+        val heap = heaps(qi)
+        var di = c
+        while (di < end) {
+          val s = Scoring.score(q, dsides(di))
+          if (s > 0) heap.offer(dsides(di).docId, s)
+          di += 1
+        }
+        qi += 1
+      }
+      c = end
+    }
+    (0 until qsides.length).iterator.flatMap(i => heaps(i).toHits(qsides(i).docId))
   }
 
   /** Town/village discovery (canonicalization of new surface forms —

@@ -41,26 +41,24 @@ object Scoring {
     * insertion-order overwrite (`Document.java:111-117`: last term with a
     * given text wins); `lookupFirstX` mirrors the coord/density pre-pass
     * first-match scan over Text terms (`SimilarityComputer.java:466-479`). */
-  class Side(val doc: DocVec) {
-    val n: Int = doc.nTerms
-    val types: String = doc.tTypes
-    val idfs: Array[Double] = doc.idfs
-    // Term texts packed into ONE contiguous char array + offsets: equality
-    // checks during scoring scan local memory instead of chasing scattered
-    // String objects (the kernel is memory-bound at high core counts).
-    val offs: Array[Int] = new Array[Int](n + 1)
-    val packed: Array[Char] = {
-      var total = 0
-      var i = 0
-      while (i < n) { offs(i) = total; total += doc.texts(i).length; i += 1 }
-      offs(n) = total
-      val arr = new Array[Char](total)
-      i = 0
-      while (i < n) {
-        doc.texts(i).getChars(0, doc.texts(i).length, arr, offs(i)); i += 1
-      }
-      arr
-    }
+  class Side(
+      val docId: Long,
+      val types: String,
+      // Term texts packed into ONE contiguous char array + offsets: equality
+      // checks during scoring scan local memory instead of chasing scattered
+      // String objects (the kernel is memory-bound at high core counts).
+      val packed: Array[Char],
+      val offs: Array[Int],
+      val idfs: Array[Double],
+      val town: String,
+      val village: String,
+      val road: String,
+      val roadNum: String,
+      val roadNumValue: Int) {
+    def this(doc: DocVec) = this(doc.docId, doc.tTypes,
+      Side.packChars(doc.texts), Side.packOffs(doc.texts), doc.idfs,
+      doc.town, doc.village, doc.road, doc.roadNum, doc.roadNumValue)
+    val n: Int = types.length
     val hashes: Array[Int] = Array.tabulate(n)(i => hashRange(packed, offs(i), offs(i + 1)))
     private val sortedHash: Array[Int] = new Array[Int](n)
     private val sortedIdx: Array[Int] = new Array[Int](n)
@@ -129,6 +127,31 @@ object Scoring {
     }
   }
 
+  object Side {
+    def packOffs(texts: Array[String]): Array[Int] = {
+      val offs = new Array[Int](texts.length + 1)
+      var total = 0
+      var i = 0
+      while (i < texts.length) { offs(i) = total; total += texts(i).length; i += 1 }
+      offs(texts.length) = total
+      offs
+    }
+    def packChars(texts: Array[String]): Array[Char] = {
+      var total = 0
+      var i = 0
+      while (i < texts.length) { total += texts(i).length; i += 1 }
+      val arr = new Array[Char](total)
+      total = 0
+      i = 0
+      while (i < texts.length) {
+        texts(i).getChars(0, texts(i).length, arr, total)
+        total += texts(i).length
+        i += 1
+      }
+      arr
+    }
+  }
+
   /** String.hashCode over a char range (same formula, no allocation). */
   @inline private def hashRange(a: Array[Char], from: Int, until: Int): Int = {
     var h = 0
@@ -159,7 +182,7 @@ object Scoring {
   private def boostC(forDoc: Boolean, q: Side, qType: Char, d: Side,
       dType: Char): Double = {
     val t = if (forDoc) dType else qType
-    val qd = q.doc; val dd = d.doc
+    val qd = q; val dd = d
     t match {
       case '1' | '2' | '3' => BOOST_XL
       case '4'             => BOOST_XS
@@ -229,9 +252,9 @@ object Scoring {
       if (di < 0 && qt == 'N') {
         // RoadNum fuzzy fallback: same road, different number (`:513-517`);
         // the query RoadNum's backref is its doc's road (`Term.java:73-78`).
-        val qref = q.doc.road
-        if (d.doc.roadNum != null && d.doc.road != null && qref != null &&
-            d.doc.road == qref)
+        val qref = q.road
+        if (d.roadNum != null && d.road != null && qref != null &&
+            d.road == qref)
           di = d.roadNumIdx
       }
       q.dIdx(i) = di

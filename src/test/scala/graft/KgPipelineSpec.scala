@@ -164,6 +164,27 @@ class KgPipelineSpec extends AnyFunSuite {
     gotTriples.foreach(t => assert(math.abs(t.score - expByKey(key(t))) < 1e-12))
   }
 
+  test("linkTopK is bit-identical for any bucket/blob knobs") {
+    val s = spark
+    import s.implicits._
+    val corpusRows = SynthCorpus.corpus(regions, 400, 4, seed = 17)
+    val bdict = s.sparkContext.broadcast(d0)
+    val docs0 = Linker.buildDocs(s, s.createDataset(corpusRows).repartition(6), bdict)
+    val idf = Linker.buildIdf(s, docs0)
+    val docs = Linker.attachIdf(s, docs0, idf)
+    // Use corpus docs themselves as queries (self-link).
+    def run(qb: Int, db: Int, blob: Int) =
+      Linker.linkTopK(s, docs, docs, 5, qBuckets = qb, dBuckets = db,
+        blobSize = blob)
+        .collect()
+        .map(h => (h.queryId, h.docId, h.rank,
+          java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    val base = run(1, 1, 1000000)
+    assert(base.nonEmpty)
+    assert(run(24, 1, 256) == base)
+    assert(run(7, 3, 16) == base)
+  }
+
   test("determinism across parallelism levels") {
     val s = spark
     import s.implicits._

@@ -49,6 +49,27 @@ class PlanSpec extends AnyFunSuite {
     assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
   }
 
+  test("partKey-partitioned docs table prunes partitions on the district filter") {
+    val s = spark
+    import s.implicits._
+    val dict = GoldenFixtures.dict
+    val bdict = s.sparkContext.broadcast(dict)
+    val corpus = s.createDataset(
+      graft.data.SynthCorpus.corpus(dict.regions, 200, 4, seed = 2))
+    val docs = graft.link.Linker.buildDocs(s, corpus, bdict)
+    val dir = Files.createTempDirectory("graft-docs-part").toString
+    // The layout the reference's per-district .vt files become (SURVEY.md A6):
+    // one physical partition per partKey; the query-side district predicate
+    // then prunes at planning time.
+    docs.write.partitionBy("partKey").mode("overwrite").parquet(dir)
+    val somePk = docs.head().partKey
+    val pruned = s.read.parquet(dir).where(col("partKey") === somePk)
+    val plan = planOf(pruned)
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("partKey"), plan.take(800))
+    assert(pruned.count() > 0)
+  }
+
   test("binary payload column prunes away for metadata-only aggregation") {
     val dir = Files.createTempDirectory("graft-media").toString
     MultimodalOps.synthesize(spark, 50, seed = 4).write
