@@ -42,8 +42,8 @@ object Bench {
     // Sized so parallel compute dominates the ~8s of fixed job overhead —
     // the representative regime for the 10^12-turn design point — while a
     // 2-core run still finishes in minutes.
-    if (sf >= 0.1) (60000L, 40000L, 12)
-    else if (sf >= 0.01) (12000L, 8000L, 8)
+    if (sf >= 0.1) (90000L, 80000L, 12)
+    else if (sf >= 0.01) (20000L, 16000L, 8)
     else (3000L, 1500L, 5)
   }
 

@@ -30,7 +30,7 @@ final class AddressInterpreter(val regions: Regions, val termIndex: TermIndex)
     extends Serializable {
   import AddressInterpreter._
 
-  def newVisitor(): RegionVisitor = new RegionVisitor(regions)
+  def newVisitor(): RegionVisitor = new RegionVisitor(regions, termIndex)
 
   /** Full pipeline (`AddressInterpreter.interpret` `:256-293`): buildingNum →
     * specialChars → brackets → region → redundancy → road → unit/room cleanup. */

@@ -2,7 +2,7 @@ package graft.interpret
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.dict.{IndexItem, IndexVisitor, Regions, TrieNode}
+import graft.dict.{IndexItem, IndexVisitor, Regions, TermIndex}
 import graft.model.{Region, RegionTypes, TermTypes}
 
 /** Region-extraction visitor — faithful port of the 5-rule candidate
@@ -14,7 +14,7 @@ import graft.model.{Region, RegionTypes, TermTypes}
   * instantiate one per partition inside `mapPartitions` and `reset()` between
   * rows — zero allocation per match, mirroring the reference's reuse pattern.
   */
-final class RegionVisitor(regions: Regions) extends IndexVisitor {
+final class RegionVisitor(regions: Regions, index: TermIndex) extends IndexVisitor {
   private var currentLevel = 0
   private var deepMostLevel = 0
   private var currentPos = -1
@@ -23,17 +23,17 @@ final class RegionVisitor(regions: Regions) extends IndexVisitor {
   private var deepMostFullMatchCount = 0
   val deepMostDivision = new MDivision
   private val curDivision = new MDivision
-  private val stack = new ArrayBuffer[(IndexItem, TrieNode)]()
+  private val stack = new ArrayBuffer[IndexItem]()
 
   override def startRound(): Unit = currentLevel += 1
 
   /** `RegionInterpreterVisitor.visit` `:107-126`. */
-  override def visit(entry: TrieNode, text: String, pos: Int): Boolean = {
+  override def visit(entry: Int, text: String, pos: Int): Boolean = {
     val acceptableItem = findAcceptableItem(entry, text, pos)
     if (acceptableItem == null) return false
     val region = acceptableItem.region
 
-    stack += ((acceptableItem, entry))
+    stack += acceptableItem
     if (isFullMatch(entry, region)) fullMatchCount += 1
     currentPos = positioning(region, entry, text, pos)
     updateCurrentDivisionState(region)
@@ -43,11 +43,11 @@ final class RegionVisitor(regions: Regions) extends IndexVisitor {
   override def positionAfterAcceptItem: Int = currentPos
 
   /** `RegionInterpreterVisitor.endVisit` `:140-192`. */
-  override def endVisit(entry: TrieNode, text: String, pos: Int): Unit = {
+  override def endVisit(entry: Int, text: String, pos: Int): Unit = {
     checkDeepMost()
 
-    val (tii, _) = stack.remove(stack.length - 1)
-    currentPos = pos - entry.key.length
+    val tii = stack.remove(stack.length - 1)
+    currentPos = pos - index.keyLen(entry)
     val region = tii.region
     if (isFullMatch(entry, region)) fullMatchCount += 1
     if (tii.termType == TermTypes.Ignore) return
@@ -57,7 +57,7 @@ final class RegionVisitor(regions: Regions) extends IndexVisitor {
     var street: Region = null; var town: Region = null; var village: Region = null
     var i = 0
     while (i < stack.length) {
-      val it = stack(i)._1
+      val it = stack(i)
       if (it.termType != TermTypes.Ignore) {
         val r = it.region
         r.regionType match {
@@ -98,7 +98,7 @@ final class RegionVisitor(regions: Regions) extends IndexVisitor {
 
   /** Pointer adjustment after ambiguous-char alias match
     * (`RegionInterpreterVisitor.positioning` `:206-225`). */
-  private def positioning(acceptedRegion: Region, entry: TrieNode,
+  private def positioning(acceptedRegion: Region, entry: Int,
       text: String, pos: Int): Int = {
     if (acceptedRegion == null) return pos
     if ((acceptedRegion.regionType == RegionTypes.City ||
@@ -121,13 +121,13 @@ final class RegionVisitor(regions: Regions) extends IndexVisitor {
 
   /** 5-rule candidate arbitration
     * (`RegionInterpreterVisitor.findAcceptableItem` `:234-390`). */
-  private def findAcceptableItem(entry: TrieNode, text: String, pos: Int): IndexItem = {
+  private def findAcceptableItem(entry: Int, text: String, pos: Int): IndexItem = {
     var mostPriority = -1
     var acceptableItem: IndexItem = null
-    val items = entry.items
-    var idx = 0
-    while (idx < items.length) {
-      val item = items(idx)
+    var idx = index.itemsFrom(entry)
+    val untilIdx = index.itemsUntil(entry)
+    while (idx < untilIdx) {
+      val item = index.item(idx)
       idx += 1
       if (isAcceptableItemType(item.termType)) {
         if (item.termType == TermTypes.Ignore) {
@@ -237,11 +237,11 @@ final class RegionVisitor(regions: Regions) extends IndexVisitor {
   }
 
   /** `RegionInterpreterVisitor.isFullMatch` `:391-399`. */
-  private def isFullMatch(entry: TrieNode, region: Region): Boolean = {
+  private def isFullMatch(entry: Int, region: Region): Boolean = {
     if (region == null) return false
-    if (entry.key.length == region.name.length) return true
+    if (index.keyLen(entry) == region.name.length) return true
     if (region.regionType == RegionTypes.Street && region.name.endsWith("街道") &&
-        region.name.length == entry.key.length + 1) return true
+        region.name.length == index.keyLen(entry) + 1) return true
     false
   }
 
