@@ -94,6 +94,33 @@ object SparkEntry {
     "kg_adjacency" -> ((s, dir) => {
       KgPipeline.regionAdjacency(s, dict).orderBy("src", "dst")
     }),
+    "kg_links_hydrated" -> ((s, dir) => {
+      // D5 result hydration: link hits joined back to the corpus rows.
+      import s.implicits._
+      val (corpus, turns) = kgInputs(s, dir)
+      val (_, _, hits) = KgPipeline.run(s, turns, corpus, bdict(s), 3)
+      hits.toDF()
+        .join(corpus.toDF("docId", "docText"), "docId")
+        .withColumn("similarity", round(col("similarity"), 9))
+        .select("queryId", "docId", "rank", "similarity", "docText")
+        .orderBy("queryId", "rank")
+    }),
+    "kg_dedup_corpus" -> ((s, dir) => {
+      // A14 exact ingest dedup: corpus doubled with offset ids → exactly the
+      // original rows survive with min ids.
+      import s.implicits._
+      val (corpus, _) = kgInputs(s, dir)
+      val doubled = corpus.union(corpus.map { case (id, t) => (id + 1000000L, t) })
+      Linker.dedupCorpus(s, doubled).toDF("id", "rawText").orderBy("id")
+    }),
+    "kg_accuracy" -> ((s, dir) => {
+      // C5 end-to-end accuracy regression (0.85 buckets + rates).
+      val (n, _, nDistricts) = scaleOf(dir)
+      graft.kg.Accuracy.evaluate(s, bdict(s), n.toLong, nDistricts, seed = 77)
+        .withColumn("match_rate", round(col("match_rate"), 6))
+        .withColumn("low_acc", round(col("low_acc"), 6))
+        .withColumn("high_acc", round(col("high_acc"), 6))
+    }),
 
     // ---------------- core dataflow on driver tables (DuckDB-oracled) ------
     "q1_pricing_summary" -> ((s, dir) => {

@@ -107,6 +107,45 @@ object SynthCorpus {
   private def skewedIndex(rnd: Random, n: Int): Int =
     if (n > 1 && rnd.nextInt(10) < 3) 0 else rnd.nextInt(n)
 
+  /** A labeled (corpusText, queryText, gridId) pair for the accuracy
+    * regression harness (shape of the reference's WL data,
+    * `misc/RegressionTestImportWLData.java:99-123`): both texts share the
+    * same delivery cell (district + road ⇒ gridId); the query is a
+    * perturbed rendering (province sometimes dropped, road number shifted,
+    * prose noise) so top-1 linking accuracy vs gridId is measurable as in
+    * `misc/RegressionTestRunTest.java:137-184`. */
+  final case class LabeledPair(id: Long, corpusText: String, queryText: String,
+      gridId: String)
+
+  def labeledPair(regions: Regions, anchors: IndexedSeq[(Long, Long, Long)],
+      i: Long, seed: Long): LabeledPair = {
+    val rnd = new Random(mix(seed, i))
+    val (pid, cid, did) = anchors(skewedIndex(rnd, anchors.length))
+    val prov = regions.get(pid); val city = regions.get(cid); val dist = regions.get(did)
+    val roadCore = RoadCores(rnd.nextInt(RoadCores.length))
+    val roadSuf = RoadSuffix(rnd.nextInt(RoadSuffix.length))
+    val num = rnd.nextInt(200) + 1
+    val estate = Estates(rnd.nextInt(Estates.length))
+    val streets = regions.children(did)
+    val street = if (streets.nonEmpty) streets(rnd.nextInt(streets.length)).name else ""
+    def render(dropProvince: Boolean, numShift: Int, noise: Boolean): String = {
+      val sb = new StringBuilder
+      if (!dropProvince) sb.append(prov.name)
+      sb.append(city.name)
+      if (dist.id != city.id) sb.append(dist.name)
+      sb.append(street)
+      sb.append(roadCore).append(roadSuf).append(num + numShift).append("号")
+      sb.append(estate)
+      if (noise) sb.append(rnd.nextInt(20) + 1).append("号楼")
+      sb.toString
+    }
+    val corpusText = render(dropProvince = false, 0, noise = false)
+    val queryText = render(dropProvince = rnd.nextInt(3) == 0,
+      numShift = if (rnd.nextInt(4) == 0) rnd.nextInt(5) - 2 else 0,
+      noise = rnd.nextInt(2) == 0)
+    LabeledPair(i, corpusText, queryText, s"$did:$roadCore$roadSuf")
+  }
+
   /** Mix for per-row/per-conv seeding — generation is deterministic under ANY
     * partitioning (each row derives its own Random). */
   private def mix(seed: Long, i: Long): Long = {

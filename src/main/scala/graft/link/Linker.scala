@@ -64,6 +64,22 @@ object Linker {
     }
   }
 
+  /** Exact ingest dedup (SURVEY.md §2 A14): the reference skips rows whose
+    * rawText 32-bit hashCode was already seen
+    * (`AddressPersister.isDuplicatedAddress` `AddressPersister.java:214-243`).
+    * We dedup on the FULL text with deterministic keep-min-id — a documented
+    * improvement (32-bit-hash-only dedup silently drops colliding distinct
+    * addresses). One hash-aggregate shuffle; at 100 TB group on
+    * xxhash64(text) first and break ties on the text only within buckets. */
+  def dedupCorpus(spark: SparkSession,
+      corpus: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    corpus.toDF("id", "rawText")
+      .groupBy($"rawText").agg(min($"id").as("id"))
+      .select($"id", $"rawText").as[(Long, String)]
+  }
+
   /** Per-partition IDF table: df = docs-containing-term (terms are pre-deduped
     * per doc at analyse), idf = ln(nDocs/(df+1)) clamped >= 0, with the
     * numeric/ASCII fixed idf=2 rule (`SimilarityComputer.java:586-596`). */
