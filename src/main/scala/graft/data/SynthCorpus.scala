@@ -25,6 +25,11 @@ object SynthCorpus {
   private val Estates = Vector(
     "阳光花园", "翡翠城", "丽景小区", "金色家园", "湖畔人家", "书香门第",
     "锦绣华庭", "凤凰城", "碧水湾", "天悦府")
+  // Novel town/village surface forms (deliberately NOT in the dictionary) so
+  // the canonicalization stage (town/village discovery, SURVEY.md A19/A20)
+  // has new entities to discover.
+  private val NovelTowns = Vector("沐风", "云杪", "竹坞", "砚溪", "茶畈", "鹿鸣")
+  private val NovelVillages = Vector("青石", "枫林", "杏花", "槐杨", "苇荡")
   private val ProseCjk = Vector(
     "请把包裹送到", "收货信息如下", "我的新地址是", "下单时填写的是",
     "麻烦更新配送地址", "工单里登记的地址为", "客户反馈地址应为",
@@ -74,6 +79,12 @@ object SynthCorpus {
     val streets = regions.children(did)
     if (streets.nonEmpty && rnd.nextInt(10) < 7)
       sb.append(streets(rnd.nextInt(streets.length)).name)
+    if (rnd.nextInt(10) < 2) {
+      // Novel (undictionaried) town/village mention → discovery candidates.
+      sb.append(NovelTowns(rnd.nextInt(NovelTowns.length))).append("镇")
+      if (rnd.nextInt(2) == 0)
+        sb.append(NovelVillages(rnd.nextInt(NovelVillages.length))).append("村")
+    }
     sb.append(RoadCores(rnd.nextInt(RoadCores.length)))
       .append(RoadSuffix(rnd.nextInt(RoadSuffix.length)))
       .append(rnd.nextInt(200) + 1).append("号")

@@ -183,6 +183,13 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(base.nonEmpty)
     assert(run(24, 1, 256) == base)
     assert(run(7, 3, 16) == base)
+
+    // Broadcast-query variant (hot-partition escape hatch) agrees too.
+    val bc = Linker.linkTopKBroadcast(s, docs.collect(), docs, 5)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(bc == base)
   }
 
   test("determinism across parallelism levels") {
