@@ -19,6 +19,24 @@ final class MutableAddress(val rawText: String) {
   var buildingNum: String = ""
 
   def setText(v: String): Unit = text = if (v == null) "" else v.trim
+
+  /** Reassemble a canonical address string from the interpreted parts —
+    * `AddressEntity.restoreText` (`AddressEntity.java:92-106`) with the
+    * reference's street bug FIXED: the reference appends
+    * `getDistrict().getName()` when a street is present (`:97`); we append
+    * the street's own name. Documented divergence (SURVEY.md §5.3). */
+  def restoreText: String = {
+    val d = division
+    val sb = new StringBuilder
+    if (d.hasProvince) sb.append(d.province.name)
+    if (d.hasCity) sb.append(d.city.name)
+    if (d.hasDistrict) sb.append(d.district.name)
+    if (d.hasStreet) sb.append(d.street.name)
+    if (d.hasTown && !d.town.equals(d.street)) sb.append(d.town.name)
+    if (d.hasVillage) sb.append(d.village.name)
+    sb.append(road).append(roadNum).append(text)
+    sb.toString
+  }
 }
 
 /** Address interpretation — pure-function port of the reference pipeline

@@ -173,7 +173,10 @@ object KgPipeline {
       : (Dataset[MentionDoc], Dataset[Triple], Dataset[LinkHit]) = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
-    val docs = Linker.buildDocs(spark, corpus, dict)
+    // Exact ingest dedup first (`AddressPersister.isDuplicatedAddress`
+    // `AddressPersister.java:214-243` — interpret is pure, so deduping the
+    // raw text before interpretation is equivalent and cheaper).
+    val docs = Linker.buildDocs(spark, Linker.dedupCorpus(spark, corpus), dict)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = Linker.buildIdf(spark, docs)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -30,7 +30,7 @@ object KgJob {
     val turnsPart = turns.repartition(parallelism, col("conv_id"))
 
     val docs = runner.stage[DocVec]("docs") {
-      Linker.buildDocs(spark, corpus, dict)
+      Linker.buildDocs(spark, Linker.dedupCorpus(spark, corpus), dict)
     }
     val idf = runner.stage[IdfRow]("idf") {
       Linker.buildIdf(spark, docs)

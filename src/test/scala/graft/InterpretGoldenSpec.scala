@@ -207,6 +207,23 @@ class CleanupSpec extends AnyFunSuite {
   }
 }
 
+class RestoreTextSpec extends AnyFunSuite {
+  import GoldenFixtures._
+
+  test("restoreText reassembles division+road+residual (street bug fixed)") {
+    val visitor = interpreter.newVisitor()
+    val addr = interpreter.interpret("广东广州从化区温泉镇新田村振兴路12号某某大厦", visitor)
+    assert(addr.division.hasStreet || addr.division.hasTown)
+    val restored = addr.restoreText
+    // Canonical full names replace the raw shorthand (广东→广东省 etc.), and
+    // the STREET name appears (the reference's `AddressEntity.java:97` bug
+    // would duplicate the district name instead).
+    assert(restored.startsWith("广东省广州市从化区温泉镇"), restored)
+    assert(restored.endsWith("振兴路12号某某大厦"), restored)
+    assert(!restored.contains("从化区从化区"), restored)
+  }
+}
+
 class TownVillageSpec extends AnyFunSuite {
   import GoldenFixtures._
   import scala.collection.mutable

@@ -29,7 +29,11 @@ class KgPipelineSpec extends AnyFunSuite {
 
   private def oracleDocs(corpus: Seq[(Long, String)]): Seq[DocVec] = {
     val visitor = interp.newVisitor()
-    corpus.flatMap { case (id, text) =>
+    // Ingest dedup (keep min id per text), mirroring the pipeline.
+    val deduped = corpus.groupBy(_._2).map { case (t, rs) =>
+      (rs.map(_._1).min, t)
+    }.toSeq.sortBy(_._1)
+    deduped.flatMap { case (id, text) =>
       val addr = interp.interpret(text, visitor)
       if (addr == null || !addr.division.hasCity || !addr.division.hasDistrict) None
       else {
