@@ -10,12 +10,13 @@ import graft.link.Dict
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "scaling":{"cores_n":8,"tps_n":...,"cores_4n":32,"tps_4n":...,
-  *             "efficiency":...}}
+  *  "scaling":{"cores_n":2,...,"cores_4n":8,...,"cores_16n":32,...,
+  *             "efficiency":<2→8>,"efficiency_8_32":<8→32>}}
   *
   * The scaling block evidences the north rule's two-cluster-size criterion
-  * in-sandbox: the SAME transcript→KG job on the SAME input at local[8] vs
-  * local[32]; efficiency = tps(4N) / (4 * tps(N)). Also appended to BENCH.md.
+  * in-sandbox: the SAME transcript→KG job on the SAME parquet input at
+  * local[2] / local[8] / local[32] (best-of-2 per point);
+  * efficiency = tps(4N) / (4 * tps(N)). Also written to BENCH.md.
   */
 object Bench {
 

@@ -33,14 +33,12 @@ object Dict {
   *  - `attachIdf` / `analyseQueries`: cogroup on partKey — the equivalent of
   *    the reference's per-district IDF stamp, one shuffle each side, memory
   *    bounded by one district's term dictionary.
-  *  - `linkTopK`: cogroup queries×docs on partKey (the reference's partition
-  *    -pruned candidate retrieval D1) + per-query bounded top-k heap (E1/E2).
-  *    No crossproduct row materialization; memory = one district's docs.
-  *
-  * Skew note (100 TB): partKey is power-law (big-city districts). The cogroup
-  * keeps per-key work sequential per task; for genuinely hot keys flip
-  * `spark.sql.adaptive.enabled` + use `linkTopKBroadcast` (broadcast the query
-  * side, stream the docs side — no shuffle of the big side at all).
+  *  - `linkTopK`: the reference's partition-pruned candidate retrieval (D1)
+  *    + weighted-cosine scoring (D2/D3) + bounded top-k (E1/E2) as a
+  *    skew-safe blocked cross join — see the method doc for the shuffle
+  *    design (binary doc blocks, query bucketing, optional doc bucketing).
+  *  - `linkTopKBroadcast`: alternative for hot partitions when the query
+  *    side fits a broadcast — the doc side streams with NO shuffle.
   */
 object Linker {
 

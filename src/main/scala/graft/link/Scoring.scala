@@ -173,10 +173,6 @@ object Scoring {
     }
   }
 
-  /** Back-compat aliases (tests / broadcast variant). */
-  type DocSide = Side
-  def DocSideOf(d: DocVec): Side = new Side(d)
-
   /** `SimilarityComputer.getBoostValue` `:198-255` on compiled sides.
     * When forDoc is false, dType is ignored (query term type drives). */
   private def boostC(forDoc: Boolean, q: Side, qType: Char, d: Side,
