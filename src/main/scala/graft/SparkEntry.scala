@@ -414,7 +414,8 @@ object SparkEntry {
                (PARTITION BY user_id ORDER BY ts, event_id) AS gap
            FROM events)
          SELECT user_id,
-           sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
            count(*) AS n_events
          FROM g GROUP BY user_id ORDER BY user_id""",
     "q19_dict_export" ->

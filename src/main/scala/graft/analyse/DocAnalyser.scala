@@ -16,7 +16,8 @@ import graft.model.{DocVec, TermRow}
 object DocAnalyser {
   val MissingIdf = 4.0 // `SimilarityComputer.java:77`
 
-  def analyse(docId: Long, partKey: String, addr: MutableAddress): DocVec = {
+  def analyse(docId: Long, partKey: String, addr: MutableAddress,
+      segmenter: Segmentation = Segmenter): DocVec = {
     val d = addr.division
     val types = new java.lang.StringBuilder(8)
     val texts = new ArrayBuffer[String](8)
@@ -44,7 +45,7 @@ object DocAnalyser {
       types.append('N'); texts += roadNum
     }
     if (addr.text.nonEmpty) {
-      Segmenter.segment(addr.text).foreach { token =>
+      segmenter.segment(addr.text).foreach { token =>
         if (token != null && token.nonEmpty && !texts.contains(token)) {
           types.append('X'); texts += token
         }

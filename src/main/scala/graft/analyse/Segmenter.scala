@@ -4,9 +4,17 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.util.Str
 
+/** Pluggable tokenizer seam, mirroring the reference's `Segmenter` interface
+  * (`similarity/segment/Segmenter.java:11-18`, with IK/SmartCN/word impls out
+  * of scope — SURVEY.md §2 A16). Implementations must be serializable: the
+  * segmenter ships inside broadcast dictionaries / mapPartitions closures. */
+trait Segmentation extends Serializable {
+  def segment(text: String): Seq[String]
+}
+
 /** Tokenization: single CJK chars; consecutive ASCII digit runs and letter
   * runs as single tokens (`similarity/segment/SimpleSegmenter.java:15-48`). */
-object Segmenter {
+object Segmenter extends Segmentation {
   def segment(text: String): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
     val tokens = new ArrayBuffer[String](text.length)

@@ -67,15 +67,32 @@ object Linker {
     * (`AddressPersister.isDuplicatedAddress` `AddressPersister.java:214-243`).
     * We dedup on the FULL text with deterministic keep-min-id — a documented
     * improvement (32-bit-hash-only dedup silently drops colliding distinct
-    * addresses). One hash-aggregate shuffle; at 100 TB group on
-    * xxhash64(text) first and break ties on the text only within buckets. */
+    * addresses).
+    *
+    * Hash-first shuffle plan: rows are repartitioned on `xxhash64(rawText)` —
+    * an 8-byte shuffle KEY with the text riding as payload — and equal texts
+    * (identical hash ⇒ identical partition) dedup in one per-partition hash
+    * map. The text itself is never a sort/partition key, so the shuffle
+    * machinery hashes/compares 8 bytes instead of whole documents. Memory:
+    * a partition holds its share of DISTINCT texts only; at 100 TB size
+    * `spark.sql.shuffle.partitions` so distinct-bytes/partitions fits a task
+    * (exactness is unaffected by the partition count). */
   def dedupCorpus(spark: SparkSession,
       corpus: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     corpus.toDF("id", "rawText")
-      .groupBy($"rawText").agg(min($"id").as("id"))
-      .select($"id", $"rawText").as[(Long, String)]
+      .repartition(xxhash64($"rawText"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val best = new java.util.HashMap[String, java.lang.Long]()
+        it.foreach { case (id, text) =>
+          val cur = best.get(text)
+          if (cur == null || id < cur.longValue()) best.put(text, id)
+        }
+        import scala.jdk.CollectionConverters._
+        best.entrySet().iterator().asScala.map(e => (e.getValue.longValue(), e.getKey))
+      }
   }
 
   /** Per-partition IDF table: df = docs-containing-term (terms are pre-deduped

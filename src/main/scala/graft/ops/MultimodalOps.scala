@@ -22,6 +22,7 @@ object MultimodalOps {
       media_id: Long,
       modality: String, // image | audio | video
       content: Array[Byte],
+      content_len: Int, // payload size, precomputed so metadata scans skip the blob
       width: Int,
       height: Int,
       sample_rate_hz: Int,
@@ -79,7 +80,7 @@ object MultimodalOps {
       val len = 64 + rnd.nextInt(192)
       val content = new Array[Byte](len)
       rnd.nextBytes(content)
-      MediaRow(i, modality, content,
+      MediaRow(i, modality, content, content_len = len,
         width = if (modality != "audio") 16 * (1 + rnd.nextInt(4)) else 0,
         height = if (modality != "audio") 16 * (1 + rnd.nextInt(4)) else 0,
         sample_rate_hz = if (modality != "image") 16000 else 0,
@@ -115,11 +116,12 @@ object MultimodalOps {
     }
   }
 
-  /** Metadata-only projection (no payload read) — with parquet this prunes
-    * the binary column entirely at the scan (`ReadSchema` excludes content). */
+  /** Metadata-only aggregation: reads `content_len` (precomputed at ingest),
+    * never the payload — with parquet the binary column prunes entirely at
+    * the scan (`ReadSchema` excludes `content`; asserted by PlanSpec). */
   def metadataStats(media: DataFrame): DataFrame =
     media.groupBy(col("modality"))
       .agg(count(lit(1)).as("n"),
-        sum(length(col("content"))).as("total_bytes"),
+        sum(col("content_len").cast("long")).as("total_bytes"),
         avg(col("duration_ms")).as("avg_duration_ms"))
 }

@@ -74,15 +74,17 @@ class PlanSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-media").toString
     MultimodalOps.synthesize(spark, 50, seed = 4).write
       .mode("overwrite").parquet(dir)
-    val stats = MultimodalOps.metadataStats(
-      spark.read.parquet(dir).drop("content")
-        .withColumn("content", lit(Array.emptyByteArray)))
-    assert(stats.count() == 3)
-    // And the pruned scan itself: only requested columns in ReadSchema.
-    val meta = spark.read.parquet(dir).select("modality", "duration_ms")
-    val readSchema = planOf(meta).linesIterator
+    // metadataStats itself must prune the blob: content_len is a metadata
+    // column, so the scan's ReadSchema excludes `content` with no manual drop.
+    val stats = MultimodalOps.metadataStats(spark.read.parquet(dir))
+    val readSchema = planOf(stats).linesIterator
       .find(_.contains("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("content"), readSchema)
+    assert(readSchema.contains("content_len"), readSchema)
+    assert(!readSchema.contains("content:") && !readSchema.contains("content,"),
+      readSchema)
+    assert(stats.count() == 3)
+    val totals = stats.orderBy("modality").collect()
+    assert(totals.forall(_.getLong(2) > 0))
   }
 }
 
