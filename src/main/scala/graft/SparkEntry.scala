@@ -177,7 +177,7 @@ object SparkEntry {
     }),
     "q8_ngram_jaccard" -> ((s, dir) => {
       DedupOps.ngramJaccard(t(s, dir, "documents"), col("doc_id") < 20,
-          n = 3, minJaccard = 0.2)
+          n = 3, minJaccard = 0.2, maxShingleDf = 400)
         .orderBy("qid", "did")
     }),
     "q9_minhash_lsh" -> ((s, dir) => {
@@ -219,7 +219,8 @@ object SparkEntry {
     }),
     "q16_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      AnnOps.lshTopK(e, e.where(col("vec_id") < 10), k = 5, dim = 64, bits = 6)
+      AnnOps.lshTopK(e, e.where(col("vec_id") < 10), k = 5, dim = 64, bits = 6,
+          probes = 2, tables = 16)
         .orderBy("qid", "rank")
     }),
 
@@ -301,16 +302,21 @@ object SparkEntry {
          sh AS (
            SELECT DISTINCT sid, substr(text, CAST(i AS INT), 3) AS shingle FROM idx),
          sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid),
-         q AS (SELECT sid AS qid, shingle FROM sh WHERE sid < 20),
+         hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 400),
+         shc AS (SELECT sid, shingle FROM sh
+                 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         q AS (SELECT sid AS qid, shingle FROM shc WHERE sid < 20),
          inter AS (
-           SELECT q.qid, sh.sid, count(*) AS shared FROM q
-           JOIN sh ON q.shingle = sh.shingle AND q.qid <> sh.sid
-           GROUP BY q.qid, sh.sid)
+           SELECT q.qid, shc.sid, count(*) AS shared FROM q
+           JOIN shc ON q.shingle = shc.shingle AND q.qid <> shc.sid
+           GROUP BY q.qid, shc.sid)
          SELECT i.qid, i.sid AS did,
            round(CAST(i.shared AS DOUBLE)/(qs.nsh + ds.nsh - i.shared), 4) AS jaccard
          FROM inter i JOIN sizes qs ON i.qid = qs.sid JOIN sizes ds ON i.sid = ds.sid
          WHERE round(CAST(i.shared AS DOUBLE)/(qs.nsh + ds.nsh - i.shared), 4) >= 0.2
          ORDER BY qid, did""",
+    "q9_minhash_lsh" -> q9OracleSql,
+    "q10_simhash" -> q10OracleSql,
     "q11_token_counts" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
@@ -425,4 +431,62 @@ object SparkEntry {
            UNION ALL SELECT source AS val FROM documents)
          ORDER BY length(val) DESC, val"""
   )
+
+  // ---- generated oracle SQL for the hash-built dedup ops -------------------
+  // The hashes are engine-portable by construction (base-31/131 polynomials
+  // over code points mod 2^31-1, DedupOps.shingleHash) so DuckDB reproduces
+  // the EXACT pipeline: shingles → hashes → minhash/simhash → banding.
+
+  private def polySql(base: Long, n: Int): String =
+    (1 to n).map { i =>
+      var pow = 1L; var e = 0
+      while (e < n - i) { pow *= base; e += 1 }
+      s"ascii(substr(shingle,$i,1))::BIGINT*$pow"
+    }.mkString(" + ")
+
+  private def shingleCte(n: Int): String =
+    s"""WITH idx AS (
+       SELECT doc_id AS sid, text, unnest(generate_series(1, length(text)-${n - 1})) AS i
+       FROM documents WHERE length(text) >= $n),
+     sh AS (SELECT DISTINCT sid, substr(text, CAST(i AS INT), $n) AS shingle FROM idx)"""
+
+  /** q9: MinHash(k=32, n=5) + LSH banding (8 bands × 4 rows) in pure SQL. */
+  private def q9OracleSql: String = {
+    val p = DedupOps.HashP
+    val n = 5; val k = 32; val bands = 8; val rpb = k / bands
+    val params = DedupOps.minHashParams(k)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv*$a + $b) % $p) AS mh_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => s"mh_$i").mkString(", ")
+      s"SELECT sid, $b AS band, concat_ws('_', $cols) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""${shingleCte(n)},
+     h AS (SELECT sid, (${polySql(31, n)}) % $p AS hv FROM sh),
+     sig AS (SELECT sid, $mins FROM h GROUP BY sid),
+     bands AS ($bandSelects)
+     SELECT DISTINCT l.sid AS a, r.sid AS b
+     FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.sid < r.sid
+     ORDER BY a, b"""
+  }
+
+  /** q10: SimHash(n=4) — 64 parity-vote bit sums, sign-packed fingerprint. */
+  private def q10OracleSql: String = {
+    val p = DedupOps.HashP
+    val n = 4
+    val params = DedupOps.simHashParams
+    val sums = (0 until 64).map { b =>
+      val (a, c) = params(b)
+      s"sum(CASE WHEN (hv*$a + $c) % $p % 2 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(", ")
+    val fp = (0 until 64).map { b =>
+      val bit = if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+      s"(CASE WHEN s_$b > 0 THEN $bit ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    s"""${shingleCte(n)},
+     h AS (SELECT sid, (${polySql(31, n)}) % $p AS hv FROM sh),
+     sums AS (SELECT sid, $sums FROM h GROUP BY sid)
+     SELECT sid, $fp AS simhash FROM sums ORDER BY sid"""
+  }
 }

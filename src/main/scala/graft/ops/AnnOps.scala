@@ -65,21 +65,57 @@ object AnnOps {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN top-k: queries only score corpus vectors in the same
-    * bucket. Recall < 1 by design; measure against `bruteForceTopK`. */
+  /** LSH-bucketed ANN top-k: queries only score corpus vectors sharing a
+    * bucket in at least one hash table. Recall < 1 by design; measured
+    * against `bruteForceTopK` by `recallVsBrute` (AnnSpec pins a floor).
+    *
+    * Recall levers (AND-OR amplification; Leskovec et al., MMDS ch. 3):
+    *  - `tables`: L independent hyperplane tables — a pair is a candidate if
+    *    it collides in ANY table. Recall 1-(1-p^bits)^L. Cost: corpus rows
+    *    replicate ×L through the bucket join (the standard LSH space/compute
+    *    trade; at 100 TB this is the knob you budget, and the alternative
+    *    IVF layout shares the same join shape).
+    *  - `probes`: per table, also probe the hamming-1 buckets flipping the
+    *    lowest `probes-1` bits — replicates only the tiny broadcast QUERY
+    *    side, corpus untouched.
+    * Both leave the scale shape intact: a bucket join, never a cross
+    * product. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      bits: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(dim, bits)
+      bits: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1, tables: Int = 1): DataFrame = {
+    val planes = hyperplanes(dim, bits * tables)
+    def tablePlanes(t: Int) = planes.slice(t * bits, (t + 1) * bits)
+    // Key = table*2^bits + bucket: one join column across all tables.
+    val cKeys = (0 until tables).map { t =>
+      lshBucket(col(vecCol), tablePlanes(t)) + lit(t.toLong << bits)
+    }
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      explode(array(cKeys: _*)).as("bucket"))
+    val qKeys = (0 until tables).flatMap { t =>
+      val base = lshBucket(col(vecCol), tablePlanes(t))
+      (0 until math.min(probes, bits + 1)).map { i =>
+        (if (i == 0) base else base.bitwiseXOR(shiftleft(lit(1L), i - 1))) +
+          lit(t.toLong << bits)
+      }
+    }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      explode(array(qKeys: _*)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+      .distinct() // a pair can collide in several tables/probed buckets
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Top-k recall of an ANN result vs the brute-force result: the fraction of
+    * true top-k (qid, nid) pairs the ANN run recovered. */
+  def recallVsBrute(ann: DataFrame, brute: DataFrame): Double = {
+    val hits = brute.select("qid", "nid")
+      .join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val total = brute.count()
+    if (total == 0) 1.0 else hits.toDouble / total
   }
 }

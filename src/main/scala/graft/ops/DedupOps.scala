@@ -44,13 +44,30 @@ object DedupOps {
 
   /** n-gram Jaccard similarity of a query subset vs the whole corpus:
     * inverted-index join on shingle, |A∩B| by pair count, |A| and |B| from
-    * per-doc distinct counts. Returns (qid, did, round(jaccard, 4)). */
+    * per-doc distinct counts. Returns (qid, did, round(jaccard, 4)).
+    *
+    * `maxShingleDf` is the skew guard: a shingle appearing in more than that
+    * many documents (a "stopword" shingle) is dropped from BOTH join sides
+    * before the inverted-index join — one hot shingle otherwise produces a
+    * df² pair explosion in a single task at scale. Denominators still use the
+    * full per-doc shingle counts, so capped pairs only ever LOSE intersection
+    * mass (the standard conservative approximation). */
   def ngramJaccard(docs: DataFrame, queryPred: Column, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val rows = shingleRows(docs, idCol, textCol, n)
-    val sizes = rows.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
-    val qRows = shingleRows(docs.where(queryPred), idCol, textCol, n)
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.0,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val base = shingleRows(docs, idCol, textCol, n)
+    val sizes = base.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
+    val qBase = shingleRows(docs.where(queryPred), idCol, textCol, n)
       .withColumnRenamed("sid", "qid")
+    val (rows, qRows) =
+      if (maxShingleDf == Long.MaxValue) (base, qBase)
+      else {
+        // Hot-shingle set is tiny by construction — broadcast the anti-join.
+        val hot = base.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select("shingle")
+        (base.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          qBase.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      }
     val inter = qRows.join(rows, "shingle")
       .where(col("qid") =!= col("sid"))
       .groupBy(col("qid"), col("sid")).agg(count(lit(1)).as("shared"))
@@ -63,37 +80,76 @@ object DedupOps {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Deterministic 32-bit mix of a shingle (polynomial rolling hash via crc32
-    * — stable, engine-portable only within Spark; dedup queries built on this
-    * are rows-only checked). */
-  private def shingleHash(c: Column): Column = crc32(c.cast("string"))
+  /** Mersenne prime 2^31-1: keeps every intermediate < 2^62 (no overflow
+    * under ANSI mode) and is shared by the DuckDB oracle SQL. */
+  val HashP = 2147483647L
+
+  /** Deterministic shingle hash, ENGINE-PORTABLE by construction: a fixed-
+    * length base-31 polynomial over code points, mod 2^31-1. Expressible as
+    * the same arithmetic in DuckDB (`ascii(substr(...))`), so every operator
+    * built on it (MinHash/LSH, SimHash) is oracle-checkable — unlike
+    * crc32/xxhash64 whose bit mixes exist only inside Spark. Fixed `n` keeps
+    * the expression a flat codegen'd sum (no higher-order aggregate). */
+  def shingleHash(c: Column, n: Int): Column = {
+    val terms = (1 until n + 1).map { i =>
+      ascii(substring(c, i, 1)).cast("long") * lit(pow31(n - i))
+    }
+    pmod(terms.reduce(_ + _), lit(HashP))
+  }
+
+  private def pow31(e: Int): Long = {
+    var v = 1L; var i = 0
+    while (i < e) { v *= 31L; i += 1 }
+    v
+  }
+
+  /** (a_i, b_i) universal-hash parameters, seeded — shared with the DuckDB
+    * oracle SQL builders (SparkEntry.oracleSql). */
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (HashP - 1) + 1,
+      math.abs(rnd.nextLong()) % HashP))
+  }
+
+  /** The k MinHash permutation parameters. */
+  def minHashParams(k: Int): Seq[(Long, Long)] = hashParams(k, 42)
+
+  /** The 64 per-bit SimHash vote-hash parameters. A large random multiplier
+    * per bit is essential: (a·h+b) mod p wraps ~a/2 times over h's range, so
+    * its PARITY is well-mixed — whereas any small/linear-in-b combination
+    * leaves parities correlated across bits and collapses the fingerprint
+    * space (caught by OpsSpec when every doc hashed to the same value). */
+  def simHashParams: Seq[(Long, Long)] = hashParams(64, 1337)
 
   /** MinHash signatures: k universal-hash permutations h_i(x)=(a_i*x+b_i) mod p
     * over distinct shingle hashes, min per permutation. Pure column exprs. */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    // Mersenne prime 2^31-1 keeps (h mod p) * a + b < 2^62 — no long overflow
-    // under ANSI mode.
-    val p = 2147483647L
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
+    val params = minHashParams(k)
     val sh = shingleRows(docs, idCol, textCol, n)
-      .withColumn("h", pmod(shingleHash(col("shingle")), lit(p)))
+      .withColumn("h", shingleHash(col("shingle"), n))
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+      min(pmod(col("h") * lit(a) + lit(b), lit(HashP))).as(s"mh_$i")
     }
     sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: band the k-wide signature into `bands` rows-of-
-    * `rowsPerBand`, hash each band, group by (band, hash) — docs sharing any
-    * band bucket are candidates. Returns distinct (a, b) with a < b. */
+    * `rowsPerBand`, key each band by its concatenated signature values, group
+    * by (band, key) — docs sharing any band bucket are candidates. Returns
+    * distinct (a, b) with a < b.
+    *
+    * The band key is the VALUE concatenation, not a hash of it: semantics are
+    * identical (equal key ⟺ equal band signature, with zero collisions) and
+    * the key stays portable to the DuckDB oracle. At 100 TB swap in
+    * xxhash64 over the band columns to shrink the shuffle key to 8 bytes —
+    * only the (astronomically rare) hash-collision false-candidate rate
+    * changes, not the verified-dup output of the downstream verify step. */
   def lshCandidates(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bh"))
     }
     val banded = signatures.select(col("sid"),
         explode(array(bandCols: _*)).as("bk"))
@@ -105,14 +161,19 @@ object DedupOps {
       .distinct()
   }
 
-  /** SimHash: 64-bit fingerprint — for each bit, sum +1/-1 weighted by shingle
-    * hash bit, take the sign. Implemented with an exploded bit-position join
-    * kept fully in codegen (no UDF): 64 aggregations per doc. */
+  /** SimHash: 64-bit fingerprint — bit b's ±1 vote per shingle is the parity
+    * of an independent universal hash (a_b·h + c_b) mod p of the portable
+    * shingle hash, summed across shingles; the fingerprint takes each bit's
+    * sign. Pure codegen'd aggregations (no UDF), and every step is
+    * reproducible in the DuckDB oracle. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val params = simHashParams
     val sh = shingleRows(docs, idCol, textCol, n)
-      .withColumn("h", xxhash64(col("shingle")))
+      .withColumn("h", shingleHash(col("shingle"), n))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+      val (a, c) = params(b)
+      sum(when(pmod(col("h") * lit(a) + lit(c), lit(HashP)) % 2 === 1, 1)
+        .otherwise(-1)).as(s"s_$b")
     }
     val sums = sh.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until 64).map { b =>

@@ -83,6 +83,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh ann recall vs brute force: multi-table amplification reaches 0.8") {
+    // Deterministic: seeded hyperplanes + fixed testdata ⇒ exact recall.
+    // True top-5 neighbors in the synthetic embeddings sit at cosine ≈ 0.3
+    // (p(bit agree) ≈ 0.6), so a single 6-bit table recalls ~5% — the
+    // multi-table OR-amplification is what makes LSH usable here.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+    val brute = AnnOps.bruteForceTopK(e, q, k = 5)
+    val single = AnnOps.lshTopK(e, q, k = 5, dim = 64, bits = 6)
+    val multi = AnnOps.lshTopK(e, q, k = 5, dim = 64, bits = 6,
+      probes = 2, tables = 16)
+    val rSingle = AnnOps.recallVsBrute(single, brute)
+    val rMulti = AnnOps.recallVsBrute(multi, brute)
+    assert(rMulti >= 0.8, s"multi-table recall $rMulti < 0.8")
+    assert(rMulti > rSingle, s"amplification must help: $rMulti <= $rSingle")
+  }
+
   test("text ops: token counts, quality, langid, fingerprints") {
     val s = spark
     import s.implicits._
