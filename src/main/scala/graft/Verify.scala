@@ -15,6 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the KG stage tables the kg_* oracle SQL reads (the oracle
+    // json below embeds this directory's read_parquet paths).
+    sys.props("graft.stage.dir") = s"$outDir/stage"
+    try SparkEntry.materializeStage(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stage materialization failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,8 +1,9 @@
 package graft.kg
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.data.SynthCorpus
 import graft.link.{Dict, Linker}
@@ -15,64 +16,93 @@ import graft.link.{Dict, Linker}
   * interpret-fail and no-candidate counters, with the same derived rates
   * (match rate `hs/effective`, low-sim accuracy `ls/(ls+lf)`, high-sim
   * accuracy `hs/(hs+hf)` — `RegressionTestRunTest.java:178-184`).
+  *
+  * Split into `statusTable` (one row per labeled query with its outcome —
+  * the DuckDB-oracle stage table) and `summarize` (one aggregation over it —
+  * no driver collect). The expensive shared stages (pairs, docs, idf, qdocs)
+  * are persisted: each feeds 2-3 consumers and would otherwise recompute the
+  * full interpret per consumer.
   */
 object Accuracy {
   val HighSimThreshold = 0.85 // `RegressionTestRunTest.java:150`
 
-  /** Evaluate on a deterministic synthetic labeled set of `n` pairs.
-    * Returns one summary row (plus per-bucket counts). */
-  def evaluate(spark: SparkSession, dict: Broadcast[Dict], n: Long,
+  /** Per-query outcome rows: (pair_id, interpreted, linked, similarity,
+    * pred_grid, true_grid). similarity/pred_grid are null when unlinked. */
+  def statusTable(spark: SparkSession, dict: Broadcast[Dict], n: Long,
       nDistricts: Int, seed: Long): DataFrame = {
     import spark.implicits._
     val pairs = spark.range(n).mapPartitions { it =>
       val regions = dict.value.regions
       val anchors = SynthCorpus.pickAnchors(regions, nDistricts)
       it.map(i => SynthCorpus.labeledPair(regions, anchors, i, seed))
-    }
+    }.persist(StorageLevel.MEMORY_AND_DISK) // corpus + queries + labels read it
 
     val corpus = pairs.map(p => (p.id, p.corpusText))
     val docs = Linker.buildDocs(spark, corpus, dict)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = Linker.buildIdf(spark, docs)
+      .persist(StorageLevel.MEMORY_AND_DISK) // attachIdf + analyseQueries
     val docsIdf = Linker.attachIdf(spark, docs, idf)
 
     // Query ids offset so they never collide with corpus doc ids.
     val queries = pairs.map(p => (p.id + n, p.queryText))
     val qdocs = Linker.analyseQueries(spark, queries, dict, idf)
-    val nQueries = queries.count()
-    val nInterpreted = qdocs.count()
+      .persist(StorageLevel.MEMORY_AND_DISK) // interpreted-flag + linkTopK
 
     val hits = Linker.linkTopK(spark, qdocs, docsIdf, topN = 1)
 
     val labels = pairs.select($"id", $"gridId")
+    val interpreted = qdocs.map(_.docId - n).toDF("pair_id")
+      .withColumn("interpreted", lit(true))
     val predicted = hits.toDF()
       .join(labels.withColumnRenamed("id", "docId")
-        .withColumnRenamed("gridId", "predGrid"), "docId")
-      .withColumn("queryPairId", col("queryId") - n)
-      .join(labels.withColumnRenamed("id", "queryPairId")
-        .withColumnRenamed("gridId", "trueGrid"), "queryPairId")
+        .withColumnRenamed("gridId", "pred_grid"), "docId")
+      .select((col("queryId") - n).as("pair_id"),
+        col("similarity"), col("pred_grid"))
 
-    val buckets = predicted
-      .withColumn("high", col("similarity") >= HighSimThreshold)
-      .withColumn("ok", col("predGrid") === col("trueGrid"))
-      .groupBy("high", "ok").agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
-
-    val hs = buckets.getOrElse((true, true), 0L)
-    val hf = buckets.getOrElse((true, false), 0L)
-    val ls = buckets.getOrElse((false, true), 0L)
-    val lf = buckets.getOrElse((false, false), 0L)
-    val linked = hs + hf + ls + lf
-    val interpretFail = nQueries - nInterpreted
-    val noCandidates = nInterpreted - linked
-    val effective = nQueries - interpretFail - noCandidates
-
-    Seq((nQueries, interpretFail, noCandidates, hs, hf, ls, lf,
-      if (effective > 0) hs.toDouble / effective else 0.0,
-      if (ls + lf > 0) ls.toDouble / (ls + lf) else 0.0,
-      if (hs + hf > 0) hs.toDouble / (hs + hf) else 0.0))
-      .toDF("n_queries", "interpret_fail", "no_candidates", "high_ok",
-        "high_bad", "low_ok", "low_bad", "match_rate", "low_acc", "high_acc")
+    labels.select($"id".as("pair_id"), $"gridId".as("true_grid"))
+      .join(interpreted, Seq("pair_id"), "left")
+      .join(predicted, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("interpreted"), lit(false)).as("interpreted"),
+        col("pred_grid").isNotNull.as("linked"),
+        col("similarity"), col("pred_grid"), col("true_grid"))
   }
+
+  /** One summary row from the status table. Rates are plain IEEE divisions of
+    * exact counts — bit-identical in any engine, so the DuckDB oracle
+    * reproduces them with no rounding slack. */
+  def summarize(status: DataFrame): DataFrame = {
+    val high = col("similarity") >= HighSimThreshold
+    val ok = col("pred_grid") === col("true_grid")
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    status.agg(
+        count(lit(1)).as("n_queries"),
+        cnt(!col("interpreted")).as("interpret_fail"),
+        cnt(col("interpreted") && !col("linked")).as("no_candidates"),
+        cnt(col("linked") && high && ok).as("high_ok"),
+        cnt(col("linked") && high && !ok).as("high_bad"),
+        cnt(col("linked") && !high && ok).as("low_ok"),
+        cnt(col("linked") && !high && !ok).as("low_bad"))
+      .withColumn("effective",
+        col("n_queries") - col("interpret_fail") - col("no_candidates"))
+      .select(col("n_queries"), col("interpret_fail"), col("no_candidates"),
+        col("high_ok"), col("high_bad"), col("low_ok"), col("low_bad"),
+        when(col("effective") > 0,
+          col("high_ok").cast("double") / col("effective")).otherwise(0.0)
+          .as("match_rate"),
+        when(col("low_ok") + col("low_bad") > 0,
+          col("low_ok").cast("double") / (col("low_ok") + col("low_bad")))
+          .otherwise(0.0).as("low_acc"),
+        when(col("high_ok") + col("high_bad") > 0,
+          col("high_ok").cast("double") / (col("high_ok") + col("high_bad")))
+          .otherwise(0.0).as("high_acc"))
+  }
+
+  /** Evaluate on a deterministic synthetic labeled set of `n` pairs.
+    * Returns one summary row. */
+  def evaluate(spark: SparkSession, dict: Broadcast[Dict], n: Long,
+      nDistricts: Int, seed: Long): DataFrame =
+    summarize(statusTable(spark, dict, n, nDistricts, seed))
 }

@@ -95,18 +95,29 @@ object Linker {
       }
   }
 
+  /** Exploded (partKey, docId, termKey) rows — the IDF table's pre-aggregation
+    * input, shared with the KG stage materializer so the DuckDB oracle
+    * recomputes idf from the exact same rows. */
+  def termKeyRows(spark: SparkSession,
+      docs: Dataset[DocVec]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, posexplode}
+    docs
+      .select($"partKey", $"docId", $"tTypes", $"road",
+        posexplode($"texts").as(Seq("pos", "text")))
+      .select($"partKey", $"docId",
+        expr("substring(tTypes, pos + 1, 1)").as("t"), $"text", $"road")
+      .withColumn("termKey", termKeyCol)
+      .select($"partKey", $"docId", $"termKey")
+  }
+
   /** Per-partition IDF table: df = docs-containing-term (terms are pre-deduped
     * per doc at analyse), idf = ln(nDocs/(df+1)) clamped >= 0, with the
     * numeric/ASCII fixed idf=2 rule (`SimilarityComputer.java:586-596`). */
   def buildIdf(spark: SparkSession, docs: Dataset[DocVec]): Dataset[IdfRow] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val termKeys = docs
-      .select($"partKey", $"docId", $"tTypes", $"road",
-        posexplode($"texts").as(Seq("pos", "text")))
-      .select($"partKey", $"docId",
-        expr("substring(tTypes, pos + 1, 1)").as("t"), $"text", $"road")
-      .withColumn("termKey", termKeyCol)
+    val termKeys = termKeyRows(spark, docs)
     val df = termKeys.groupBy($"partKey", $"termKey").agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy($"partKey").agg(count(lit(1)).as("nDocs"))
     df.join(nDocs, "partKey")
@@ -312,18 +323,8 @@ object Linker {
     * divergence from the reference's insertion-order ids). */
   def discoverTowns(spark: SparkSession, corpus: Dataset[(Long, String)],
       dict: Broadcast[Dict]): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val candidates = corpus.mapPartitions { it =>
-      val interp = dict.value.interpreter
-      val visitor = interp.newVisitor()
-      val towns = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.ArrayBuffer[String]]
-      it.foreach { case (_, text) =>
-        interp.extractTownVillage(text, visitor, towns)
-      }
-      towns.iterator.flatMap { case (did, names) => names.iterator.map(n => (did, n)) }
-    }.toDF("district_id", "name").distinct()
+    val candidates = townCandidates(spark, corpus, dict)
     val w = Window.partitionBy(col("district_id")).orderBy(col("name"))
     candidates
       .withColumn("new_region_id",
@@ -337,6 +338,24 @@ object Linker {
 
   private val RegionTypesTown = graft.model.RegionTypes.Town
   private val RegionTypesVillage = graft.model.RegionTypes.Village
+
+  /** Distinct (district_id, name) town/village candidates — discoverTowns'
+    * pre-ranking input, shared with the KG stage materializer (the DuckDB
+    * oracle reruns the id-assignment window + type filter over it). */
+  def townCandidates(spark: SparkSession, corpus: Dataset[(Long, String)],
+      dict: Broadcast[Dict]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    corpus.mapPartitions { it =>
+      val interp = dict.value.interpreter
+      val visitor = interp.newVisitor()
+      val towns = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[String]]
+      it.foreach { case (_, text) =>
+        interp.extractTownVillage(text, visitor, towns)
+      }
+      towns.iterator.flatMap { case (did, names) => names.iterator.map(n => (did, n)) }
+    }.toDF("district_id", "name").distinct()
+  }
 
   /** Bounded top-k keeper with pinned ordering (desc sim, asc docId).
     * Sorted primitive arrays of size k: O(1) rejection of the common

@@ -26,7 +26,7 @@ def main(sf_dir: str, vout: str) -> int:
     bad = 0
     for qname in sorted(os.listdir(vout)):
         qdir = os.path.join(vout, qname)
-        if not os.path.isdir(qdir):
+        if not os.path.isdir(qdir) or qname == "stage":
             continue
         spark_df = pd.concat(
             [pd.read_parquet(f) for f in sorted(glob.glob(os.path.join(qdir, "*.parquet")))],
