@@ -43,13 +43,14 @@ object Accuracy {
     val idf = Linker.buildIdf(spark, docs)
       .persist(StorageLevel.MEMORY_AND_DISK) // attachIdf + analyseQueries
     val docsIdf = Linker.attachIdf(spark, docs, idf)
+      .persist(StorageLevel.MEMORY_AND_DISK) // auto stats + link shuffle
 
     // Query ids offset so they never collide with corpus doc ids.
     val queries = pairs.map(p => (p.id + n, p.queryText))
     val qdocs = Linker.analyseQueries(spark, queries, dict, idf)
       .persist(StorageLevel.MEMORY_AND_DISK) // interpreted-flag + linkTopK
 
-    val hits = Linker.linkTopK(spark, qdocs, docsIdf, topN = 1)
+    val hits = Linker.linkTopKAuto(spark, qdocs, docsIdf, topN = 1)
 
     val labels = pairs.select($"id", $"gridId")
     val interpreted = qdocs.map(_.docId - n).toDF("pair_id")

@@ -180,10 +180,13 @@ object KgPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = Linker.buildIdf(spark, docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Persisted: linkTopKAuto reads it twice (per-partKey stats, then the
+    // link shuffle) — unpersisted, the attachIdf cogroup would run twice.
     val docsIdf = Linker.attachIdf(spark, docs, idf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = stampQueryIdf(spark, detectMentions(spark, turns, dict), idf)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hits = Linker.linkTopK(spark, mentions.map(_.doc), docsIdf, topN)
+    val hits = Linker.linkTopKAuto(spark, mentions.map(_.doc), docsIdf, topN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = mentionTriples(spark, mentions, dict)
       .union(linkTriples(spark, mentions, hits))

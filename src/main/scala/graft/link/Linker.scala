@@ -195,31 +195,45 @@ object Linker {
     *    tiny final reduce) — the memory valve for districts whose full doc
     *    set would not fit a task; results are bit-identical for any knobs.
     */
+  /** Per-partKey cell-split knobs (query buckets × doc buckets). */
+  final case class CellKnobs(qBuckets: Int, dBuckets: Int)
+
   def linkTopK(spark: SparkSession, queries: Dataset[DocVec],
       docs: Dataset[DocVec], topN: Int, qBuckets: Int = 64,
-      dBuckets: Int = 1, blobSize: Int = 256): Dataset[LinkHit] = {
+      dBuckets: Int = 1, blobSize: Int = 256,
+      knobsByPk: Map[String, CellKnobs] = Map.empty): Dataset[LinkHit] = {
     import spark.implicits._
-    val g = math.max(1, qBuckets)
-    val db = math.max(1, dBuckets)
+    val default = CellKnobs(math.max(1, qBuckets), math.max(1, dBuckets))
+    val bknobs = spark.sparkContext.broadcast(knobsByPk)
+    def gOf(knobs: Map[String, CellKnobs], pk: String): Int =
+      math.max(1, knobs.getOrElse(pk, default).qBuckets)
+    def dbOf(knobs: Map[String, CellKnobs], pk: String): Int =
+      math.max(1, knobs.getOrElse(pk, default).dBuckets)
+    val anyDb = default.dBuckets > 1 || knobsByPk.valuesIterator.exists(_.dBuckets > 1)
 
-    // db==1: each query visits exactly one cell. db>1: queries replicate
-    // across the doc buckets (partial top-k merged below).
-    val qKeyed = queries.flatMap(q => (0 until db).map(dbk => (dbk, q)))
+    // db(pk)==1: each query visits exactly one cell. db(pk)>1: queries
+    // replicate across the doc buckets (partial top-k merged below).
+    val qKeyed = queries
+      .flatMap(q => (0 until dbOf(bknobs.value, q.partKey)).map(dbk => (dbk, q)))
       .groupByKey { case (dbk, q) =>
-        (q.partKey, java.lang.Long.remainderUnsigned(q.docId, g).toInt, dbk)
+        (q.partKey,
+          java.lang.Long.remainderUnsigned(q.docId, gOf(bknobs.value, q.partKey)).toInt,
+          dbk)
       }
     // Pack per input partition, assign doc-buckets round-robin per blob,
-    // replicate each blob to every query bucket.
+    // replicate each blob to every query bucket of its partKey.
     val blobs = docs.mapPartitions { it =>
       var blobIdx = 0
       DocBlob.packGroups(it, blobSize).map { case (pk, bytes) =>
         blobIdx += 1
-        (pk, blobIdx % db, bytes)
+        (pk, blobIdx % dbOf(bknobs.value, pk), bytes)
       }
     }
     val dKeyed = blobs.flatMap { case (pk, dbk, bytes) =>
-      (0 until g).map(qb => (pk, qb, dbk, bytes))
-    }.groupByKey { case (pk, qb, dbk, _) => (pk, qb, if (db == 1) 0 else dbk) }
+      (0 until gOf(bknobs.value, pk)).map(qb => (pk, qb, dbk, bytes))
+    }.groupByKey { case (pk, qb, dbk, _) =>
+      (pk, qb, if (dbOf(bknobs.value, pk) == 1) 0 else dbk)
+    }
 
     val partial = qKeyed.cogroup(dKeyed) { (_, qIt, dIt) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Scoring.Side]
@@ -227,11 +241,94 @@ object Linker {
       if (buf.isEmpty) Iterator.empty
       else scoreCellBlocked(qIt.map(_._2), buf.toArray, topN)
     }
-    if (db == 1) partial
+    if (!anyDb) partial
     else partial.groupByKey(_.queryId).flatMapGroups { (qid, hits) =>
       val heap = new TopK(topN)
       hits.foreach(h => heap.offer(h.docId, h.similarity))
       heap.toHits(qid)
+    }
+  }
+
+  /** Self-tuning linkTopK (the 100×-survival path): derives per-partKey cell
+    * knobs from COUNTED stats instead of a human-set global, then routes
+    * extreme partitions to the broadcast variant. Output is bit-identical to
+    * any manual knob setting (KgPipelineSpec).
+    *
+    * Plan, per partKey with q queries and d candidate docs:
+    *  - docs in districts with NO queries never enter the shuffle (broadcast
+    *    membership filter) — with a small query batch against a 100 TB
+    *    corpus this prunes the dominant cost;
+    *  - hot-but-narrow partitions (q ≤ bcastQMax, d ≥ maxDocsPerCell) go to
+    *    `linkTopKBroadcast`: their docs stream with NO shuffle at all;
+    *  - the rest 2-D block: cells C = ⌈q·d / targetPairsPerCell⌉ bounds the
+    *    per-task pair work; qBuckets ∝ √(C·q/d) and dBuckets = ⌈C/g⌉ split
+    *    replication evenly (replicated bytes ≈ db·|q| + g·|d| is minimized
+    *    at g/db ≈ q/d), with dBuckets also forced up until a cell's doc set
+    *    fits the `maxDocsPerCell` task-memory valve. The old failure modes —
+    *    docs replicated ×64 regardless of query count, and one whole hot
+    *    district's blobs buffered in a single task — cannot occur by
+    *    construction. */
+  def linkTopKAuto(spark: SparkSession, queries: Dataset[DocVec],
+      docs: Dataset[DocVec], topN: Int,
+      targetPairsPerCell: Long = 1L << 22, maxDocsPerCell: Int = 1 << 16,
+      maxQBuckets: Int = 256, bcastQMax: Long = 512): Dataset[LinkHit] = {
+    import spark.implicits._
+    // Both sides' per-partKey counts in ONE job (fixed per-job overhead is
+    // the measured scaling bound on this box — don't pay it twice).
+    val stats = queries.map(q => (q.partKey, 1L, 0L))
+      .union(docs.map(d => (d.partKey, 0L, 1L)))
+      .groupByKey(_._1)
+      .mapGroups { (pk, it) =>
+        var q = 0L; var d = 0L
+        it.foreach { r => q += r._2; d += r._3 }
+        (pk, q, d)
+      }.collect()
+    val qCounts = stats.iterator.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
+    val dCounts = stats.iterator.map(s => s._1 -> s._3).toMap
+
+    val bcastPks = qCounts.keysIterator.filter { pk =>
+      qCounts(pk) <= bcastQMax && dCounts.getOrElse(pk, 0L) >= maxDocsPerCell
+    }.toSet
+    val shufflePks = qCounts.keySet -- bcastPks
+
+    // Parallelism floor: when total work is far below cluster capacity ×
+    // target, shrink the per-cell target so the cluster still fills (the
+    // work-based split alone would give one cell per district at small
+    // scale). At scale totalWork dominates and the configured target wins.
+    val totalWork = shufflePks.iterator
+      .map(pk => qCounts(pk) * dCounts.getOrElse(pk, 0L)).sum
+    val para = math.max(1, spark.sparkContext.defaultParallelism)
+    val effTarget = math.max(1L,
+      math.min(targetPairsPerCell, totalWork / (3L * para)))
+
+    val knobs = shufflePks.iterator.flatMap { pk =>
+      val q = qCounts(pk)
+      val d = dCounts.getOrElse(pk, 0L)
+      if (d == 0) None
+      else {
+        val work = q * d
+        val cells = math.max(1L, (work + effTarget - 1) / effTarget)
+        val g = math.max(1L, math.min(math.min(q, maxQBuckets.toLong),
+          math.round(math.sqrt(cells.toDouble * q / d)))).toInt
+        val dbWork = (cells + g - 1) / g
+        val dbMem = (d + maxDocsPerCell - 1) / maxDocsPerCell
+        Some(pk -> CellKnobs(g, math.max(dbWork, dbMem).toInt))
+      }
+    }.toMap
+
+    val bShuffle = spark.sparkContext.broadcast(shufflePks)
+    val restHits = linkTopK(spark,
+      queries.filter(q => bShuffle.value.contains(q.partKey)),
+      docs.filter(d => bShuffle.value.contains(d.partKey)),
+      topN, qBuckets = 1, dBuckets = 1, knobsByPk = knobs)
+
+    if (bcastPks.isEmpty) restHits
+    else {
+      val bBcast = spark.sparkContext.broadcast(bcastPks)
+      val qB = queries.filter(q => bBcast.value.contains(q.partKey)).collect()
+      val hitsB = linkTopKBroadcast(spark,
+        qB, docs.filter(d => bBcast.value.contains(d.partKey)), topN)
+      restHits.union(hitsB)
     }
   }
 

@@ -194,6 +194,34 @@ class KgPipelineSpec extends AnyFunSuite {
       .map(h => (h.queryId, h.docId, h.rank,
         java.lang.Double.doubleToLongBits(h.similarity))).toSet
     assert(bc == base)
+
+    // Per-partKey knob overrides agree (mixed g/db across districts).
+    val pks = docs.collect().map(_.partKey).distinct.sorted
+    val mixed = pks.zipWithIndex.map { case (pk, i) =>
+      pk -> Linker.CellKnobs(1 + (i % 5), 1 + (i % 3))
+    }.toMap
+    val perPk = Linker.linkTopK(s, docs, docs, 5, qBuckets = 2, dBuckets = 1,
+        blobSize = 64, knobsByPk = mixed)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(perPk == base)
+
+    // Auto mode (counted stats → knobs + broadcast routing) agrees, with
+    // thresholds forced low enough that BOTH the 2-D blocking and the
+    // broadcast route actually exercise on this small input.
+    val auto = Linker.linkTopKAuto(s, docs, docs, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 0)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(auto == base)
+    val autoBcast = Linker.linkTopKAuto(s, docs, docs, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 1000000)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(autoBcast == base)
   }
 
   test("determinism across parallelism levels") {
