@@ -68,6 +68,34 @@ object SparkEntry {
       hits.toDF().withColumn("similarity", round(col("similarity"), 9))
         .orderBy("queryId", "rank")
     }),
+    "kg_links_explain" -> ((s, dir) => {
+      // Per-term scoring explain over the final top-k hits (the reference's
+      // explain=true query mode — `SimilarityComputer.java:500-535`).
+      import s.implicits._
+      val b = bdict(s)
+      val (corpus, turns) = kgInputs(s, dir)
+      val docs = Linker.buildDocs(s, Linker.dedupCorpus(s, corpus), b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idf = Linker.buildIdf(s, docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docsIdf = Linker.attachIdf(s, docs, idf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qdocs = KgPipeline
+        .stampQueryIdf(s, KgPipeline.detectMentions(s, turns, b), idf)
+        .map(_.doc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hits = Linker.linkTopKAuto(s, qdocs, docsIdf, 3)
+      Linker.explainHits(s, qdocs, docsIdf, hits).toDF()
+        .withColumn("similarity", round(col("similarity"), 9))
+        .withColumn("matched", transform(col("matched"), m => struct(
+          m.getField("termText").as("termText"),
+          m.getField("termType").as("termType"),
+          round(m.getField("boost"), 9).as("boost"),
+          round(m.getField("tfidf"), 9).as("tfidf"),
+          round(m.getField("density"), 9).as("density"),
+          round(m.getField("coord"), 9).as("coord"))))
+        .orderBy("queryId", "rank")
+    }),
     "kg_mentions" -> ((s, dir) => {
       import s.implicits._
       val (_, turns) = kgInputs(s, dir)

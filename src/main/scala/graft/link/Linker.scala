@@ -42,9 +42,25 @@ object Dict {
   */
 object Linker {
 
+  /** Ingest field caps (`AddressPersister.importAddresses`
+    * `AddressPersister.java:106-115`): residual text ≤100, road ≤8,
+    * roadNum ≤10, buildingNum ≤20 chars, applied to each interpreted address
+    * before it becomes a stored doc. Documented divergence: the reference
+    * also truncates rawText to 150 — we do NOT, because the north-rule
+    * byte-identical turn-text round-trip forbids mutating the raw column
+    * (rawText is never a scoring input, so linking semantics are unaffected). */
+  def applyIngestCaps(addr: graft.interpret.MutableAddress): Unit = {
+    if (addr.text.length > 100) addr.text = addr.text.substring(0, 100)
+    if (addr.road.length > 8) addr.road = addr.road.substring(0, 8)
+    if (addr.roadNum.length > 10) addr.roadNum = addr.roadNum.substring(0, 10)
+    if (addr.buildingNum.length > 20)
+      addr.buildingNum = addr.buildingNum.substring(0, 20)
+  }
+
   /** Interpret a corpus of (id, rawText) address rows into term-vector docs.
     * Rows that fail interpretation (no city/district) are dropped, mirroring
-    * `AddressInterpreter.interpret(List…)` `:204-208`. */
+    * `AddressInterpreter.interpret(List…)` `:204-208`; surviving rows get the
+    * persister's ingest field caps. */
   def buildDocs(spark: SparkSession, corpus: Dataset[(Long, String)],
       dict: Broadcast[Dict]): Dataset[DocVec] = {
     import spark.implicits._
@@ -56,7 +72,11 @@ object Linker {
         if (addr == null || !addr.division.hasCity || !addr.division.hasDistrict) None
         else {
           val pk = interp.partKey(addr)
-          if (pk == null) None else Some(DocAnalyser.analyse(id, pk, addr))
+          if (pk == null) None
+          else {
+            applyIngestCaps(addr)
+            Some(DocAnalyser.analyse(id, pk, addr))
+          }
         }
       }
     }
@@ -363,6 +383,31 @@ object Linker {
       val heap = new TopK(topN)
       hits.foreach(h => heap.offer(h.docId, h.similarity))
       heap.toHits(qid)
+    }
+  }
+
+  /** A link hit with its per-term scoring explanation (the reference's
+    * `explain=true` result shape, `Query.java:8-13` + `MatchedTerm`). */
+  final case class ExplainedHit(queryId: Long, docId: Long, rank: Int,
+      similarity: Double, matched: Seq[Scoring.MatchedTermRow])
+
+  /** Per-term explain for FINAL hits only (`SimilarityComputer.java:500-535`
+    * recast): re-derives each hit pair's matched terms with
+    * `Scoring.scoreExplain`. Cost is O(k·|queries|) pairs — never touches
+    * the link kernel. Joins broadcast the tiny hits table, so the doc/query
+    * vector sides shuffle nothing extra. */
+  def explainHits(spark: SparkSession, queries: Dataset[DocVec],
+      docs: Dataset[DocVec], hits: Dataset[LinkHit]): Dataset[ExplainedHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val withQ = broadcast(hits)
+      .joinWith(queries, hits("queryId") === queries("docId"))
+    val withD = broadcast(withQ)
+      .joinWith(docs, withQ("_1.docId") === docs("docId"))
+    withD.map { case ((h, q), d) =>
+      val (_, terms) = Scoring.scoreExplain(new Scoring.QuerySide(q),
+        new Scoring.Side(d))
+      ExplainedHit(h.queryId, h.docId, h.rank, h.similarity, terms)
     }
   }
 

@@ -103,6 +103,9 @@ object Scoring {
 
     /** Index of the LAST term (in doc order) whose text equals the other
       * side's term `oIx`, or -1. */
+    /** Term text at index i, reconstructed from the packed layout. */
+    def textAt(i: Int): String = new String(packed, offs(i), offs(i + 1) - offs(i))
+
     def lookupLast(h: Int, o: Side, oIx: Int): Int = {
       var p = lowerBound(h)
       var best = -1
@@ -292,4 +295,80 @@ object Scoring {
   /** Convenience pairwise API (tests / oracle). */
   def score(qdoc: DocVec, ddoc: DocVec): Double =
     score(new QuerySide(qdoc), new Side(ddoc))
+
+  /** One matched doc term of an explained hit — the reference's
+    * `MatchedTerm` (`similarity/MatchedTerm.java:3-8`): the doc term the
+    * query term resolved to, its boost and final tfidf, and density/coord
+    * (-1 for non-Text terms, `SimilarityComputer.java:525-535`). */
+  final case class MatchedTermRow(termText: String, termType: String,
+      boost: Double, tfidf: Double, density: Double, coord: Double)
+
+  /** Scoring with per-term explain output (`computeDocSimilarity`'s
+    * `explain=true` path, `SimilarityComputer.java:500-541`): same
+    * accumulation as `score` — identical similarity bit-for-bit — plus one
+    * MatchedTermRow per query term that resolved to a doc term. Cold path:
+    * runs only over the FINAL top-k pairs, never inside the link kernel. */
+  def scoreExplain(q: QuerySide, d: Side): (Double, Seq[MatchedTermRow]) = {
+    val n = q.n
+    var dTextTermMatchCount = 0
+    var matchStart = -1
+    var matchEnd = -1
+    var i = 0
+    while (i < n) {
+      val qt = q.types.charAt(i)
+      if (qt == 'X') {
+        val xi = d.lookupFirstX(q.hashes(i), q, i)
+        if (xi >= 0) {
+          dTextTermMatchCount += 1
+          if (matchStart == -1) { matchStart = xi; matchEnd = xi }
+          else if (xi > matchEnd) matchEnd = xi
+          else if (xi < matchStart) matchStart = xi
+        }
+      }
+      var di = d.lookupLast(q.hashes(i), q, i)
+      if (di < 0 && qt == 'N') {
+        val qref = q.road
+        if (d.roadNum != null && d.road != null && qref != null &&
+            d.road == qref)
+          di = d.roadNumIdx
+      }
+      q.dIdx(i) = di
+      i += 1
+    }
+    var textTermDensity = 1.0
+    var textTermCoord = 1.0
+    if (q.qTextTermCount > 0)
+      textTermCoord =
+        math.sqrt(dTextTermMatchCount * 1.0 / q.qTextTermCount) * 0.5 + 0.5
+    if (q.qTextTermCount >= 2 && dTextTermMatchCount >= 2)
+      textTermDensity =
+        math.sqrt(dTextTermMatchCount * 1.0 / (matchEnd - matchStart + 1)) * 0.5 + 0.5
+
+    val matched = Seq.newBuilder[MatchedTermRow]
+    var sumQD = 0.0; var sumQQ = 0.0; var sumDD = 0.0
+    i = 0
+    while (i < n) {
+      val qboost = boostC(forDoc = false, q, q.types.charAt(i), d, ' ')
+      val qtfidf = q.effIdfs(i) * qboost
+      val di = q.dIdx(i)
+      val dt = if (di >= 0) d.types.charAt(di) else ' '
+      val dboost =
+        if (di < 0) 0.0 else boostC(forDoc = true, q, q.types.charAt(i), d, dt)
+      val isX = dt == 'X'
+      val coord = if (isX) textTermCoord else 1.0
+      val density = if (isX) textTermDensity else 1.0
+      val dIdf = if (di >= 0) effIdfC(dt, d.idfs(di)) else q.effIdfs(i)
+      val dtfidf = dIdf * dboost * coord * density
+      if (di >= 0)
+        matched += MatchedTermRow(d.textAt(di), dt.toString, dboost, dtfidf,
+          if (isX) density else -1.0, if (isX) coord else -1.0)
+      sumQQ += qtfidf * qtfidf
+      sumQD += qtfidf * dtfidf
+      sumDD += dtfidf * dtfidf
+      i += 1
+    }
+    val sim = if (sumDD == 0 || sumQQ == 0) 0.0
+      else sumQD / math.sqrt(sumQQ * sumDD)
+    (sim, matched.result())
+  }
 }

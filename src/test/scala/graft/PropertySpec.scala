@@ -41,6 +41,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ingest field caps bound every stored doc field (rawText untouched)") {
+    // `AddressPersister.java:106-115` parity: text<=100, road<=8,
+    // roadNum<=10, buildingNum<=20. rawText is deliberately NOT capped
+    // (documented divergence: the byte-identical round-trip invariant).
+    val interp = GoldenFixtures.interpreter
+    val longTail = for {
+      tail <- Gen.listOfN(160, cjkChar).map(_.mkString)
+    } yield "山东青岛市南区宁夏路118号" + tail
+    check(Prop.forAll(longTail) { text =>
+      val v = interp.newVisitor()
+      val a = interp.interpret(text, v)
+      (a == null) || {
+        graft.link.Linker.applyIngestCaps(a)
+        a.text.length <= 100 && a.road.length <= 8 &&
+        a.roadNum.length <= 10 && a.buildingNum.length <= 20 &&
+        a.rawText == text
+      }
+    })
+  }
+
   test("interpret is deterministic and never throws on mixed text") {
     val interp = GoldenFixtures.interpreter
     check(Prop.forAll(mixedText) { text =>
