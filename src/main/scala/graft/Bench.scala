@@ -42,10 +42,16 @@ object Bench {
       .map(_.group(1).toDouble).getOrElse(0.001)
     // Sized so parallel compute dominates the ~8s of fixed job overhead —
     // the representative regime for the 10^12-turn design point — while a
-    // 2-core run still finishes in minutes.
-    if (sf >= 0.1) (90000L, 80000L, 12)
-    else if (sf >= 0.01) (20000L, 16000L, 8)
-    else (3000L, 1500L, 5)
+    // 2-core run still finishes in minutes. GRAFT_SCALE_MULT multiplies the
+    // input (Amdahl evidence runs: fixed overhead F stays constant while
+    // parallel work W grows, so efficiency must rise with the multiplier if
+    // F — not a serial stage — is the bound).
+    val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toDouble
+    val (c, v, d) =
+      if (sf >= 0.1) (90000L, 80000L, 12)
+      else if (sf >= 0.01) (20000L, 16000L, 8)
+      else (3000L, 1500L, 5)
+    ((c * mult).toLong, (v * mult).toLong, d)
   }
 
   /** Materialize the scaling input ONCE as parquet (distributed generation),

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.data.WlCsv
+import graft.link.Dict
+
+/** File-driven ingest CLI — the reference's `misc/ImportAddress.main` role
+  * (external address file → checkpointed job) recast as a spark-submit main:
+  *
+  *   ImportMain <corpus> <turnsParquet> <outRoot> [topN] [parallelism]
+  *
+  * `corpus` is a plain text file (one raw address per line; ids are stable
+  * line numbers) or a WL quoted-CSV file (`*.csv`, the reference's
+  * regression-data format — `misc/RegressionTestImportWLData.java`).
+  * `turnsParquet` is the input-hint transcript table. Every stage
+  * checkpoints under `outRoot` and re-runs resume from the first missing
+  * stage (StageRunner lineage + metrics).
+  */
+object ImportMain {
+
+  /** Stable line-number ids: zipWithIndex over the file's split order is
+    * deterministic for a fixed input file. */
+  def corpusFromFile(spark: SparkSession,
+      path: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    if (path.endsWith(".csv"))
+      WlCsv.read(spark, lines).map(r => r.text)
+        .rdd.zipWithIndex().map { case (t, i) => (i, t) }.toDS()
+    else
+      lines.rdd.zipWithIndex()
+        .flatMap { case (t, i) => if (t.trim.isEmpty) None else Some((i, t.trim)) }
+        .toDS()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ImportMain <corpus.txt|.csv> <turnsParquet> <outRoot> [topN] [parallelism]")
+    val Array(corpusPath, turnsPath, outRoot) = args.take(3)
+    val topN = if (args.length > 3) args(3).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val parallelism = if (args.length > 4) args(4).toInt else 2 * cpus
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 2 * cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try {
+      val dict = spark.sparkContext.broadcast(Dict.default())
+      val corpus = corpusFromFile(spark, corpusPath)
+      val turns = spark.read.parquet(turnsPath).as[graft.model.Turn]
+      val triples = KgJob.run(spark, turns, corpus, dict, topN,
+        outRoot, runId = "import", parallelism = parallelism)
+      println(s"[import] triples=${triples.count()} -> $outRoot")
+    } finally spark.stop()
+  }
+}

@@ -43,7 +43,7 @@ object KgJob {
         KgPipeline.detectMentions(spark, turnsPart, dict), idf)
     }
     val hits = runner.stage[LinkHit]("hits") {
-      Linker.linkTopK(spark, mentions.map(_.doc), docsIdf, topN)
+      Linker.linkTopKAuto(spark, mentions.map(_.doc), docsIdf, topN)
     }
     runner.stage[Triple]("triples") {
       KgPipeline.mentionTriples(spark, mentions, dict)

@@ -16,6 +16,26 @@ class CheckpointSpec extends AnyFunSuite {
   import GoldenFixtures.{dict => d0}
   private lazy val spark = SparkTestBase.spark
 
+  test("file-driven ingest: stable line-number ids, blank lines dropped, csv variant") {
+    val s = spark
+    import graft.pipeline.ImportMain
+    val txt = Files.createTempFile("graft-corpus", ".txt")
+    Files.writeString(txt,
+      "山东青岛市南区宁夏路118号\n\n山东青岛市南区宁夏路120号\n")
+    val rows = ImportMain.corpusFromFile(s, txt.toString).collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("山东青岛市南区宁夏路118号", "山东青岛市南区宁夏路120号"))
+    assert(rows.map(_._1).distinct.length == 2)
+    val again = ImportMain.corpusFromFile(s, txt.toString).collect().sortBy(_._1)
+    assert(rows.toSeq == again.toSeq, "line-number ids must be stable")
+
+    val csv = Files.createTempFile("graft-corpus", ".csv")
+    Files.writeString(csv,
+      "\"SO1\",\"山东\",\"青岛\",\"市南区\",\"宁夏路118号\",\"10/23/2016 19:15:30\",\"G42\"\njunk\n")
+    val crows = ImportMain.corpusFromFile(s, csv.toString).collect()
+    assert(crows.length == 1 && crows(0)._2 == "山东青岛市南区宁夏路118号")
+  }
+
   test("resume skips completed stages; outputs identical; metrics written") {
     val s = spark
     import s.implicits._
