@@ -15,9 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Materialize the KG stage tables the kg_* oracle SQL reads (the oracle
-    // json below embeds this directory's read_parquet paths).
-    sys.props("graft.stage.dir") = s"$outDir/stage"
+    // Materialize the KG stage tables the kg_* oracle SQL reads. The oracle
+    // json below embeds this directory's read_parquet paths — absolute, so
+    // the driver's DuckDB process resolves them from any cwd.
+    sys.props("graft.stage.dir") =
+      s"${new java.io.File(outDir).getAbsolutePath}/stage"
     try SparkEntry.materializeStage(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] stage materialization failed: ${e.getMessage}")

@@ -70,6 +70,23 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed similarity joins never degrade to a cartesian product") {
+    // q8 (inverted-index join), q9 (band-bucket join), q16 (LSH bucket
+    // join): the whole 100 TB story is that these are EQUI-joins on derived
+    // keys — a planner regression to CartesianProduct/BroadcastNestedLoop
+    // would still pass correctness at sf0.001.
+    for (q <- Seq("q8_ngram_jaccard", "q9_minhash_lsh", "q16_ann_lsh")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(400)}")
+    }
+    // q15 brute force IS the intentional cross product (the baseline);
+    // its query side must be the broadcast side.
+    val bf = planOf(SparkEntry.queries("q15_cosine_topk")(spark, sfDir))
+    assert(bf.contains("BroadcastNestedLoop") || bf.contains("CartesianProduct"),
+      bf.take(400))
+  }
+
   test("binary payload column prunes away for metadata-only aggregation") {
     val dir = Files.createTempDirectory("graft-media").toString
     MultimodalOps.synthesize(spark, 50, seed = 4).write
