@@ -122,6 +122,14 @@ object SparkEntry {
     "kg_adjacency" -> ((s, dir) => {
       KgPipeline.regionAdjacency(s, dict).orderBy("src", "dst")
     }),
+    "kg_comention" -> ((s, dir) => {
+      // Materialized entity-adjacency table from actual links: top-1-linked
+      // addresses co-mentioned in the same conversation.
+      val (corpus, turns) = kgInputs(s, dir)
+      val (mentions, _, hits) = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+      KgPipeline.coMentionEdges(s, mentions, hits, topRank = 1)
+        .orderBy("src", "dst")
+    }),
     "kg_links_hydrated" -> ((s, dir) => {
       // D5 result hydration: link hits joined back to the corpus rows.
       import s.implicits._
@@ -214,6 +222,21 @@ object SparkEntry {
     "q10_simhash" -> ((s, dir) => {
       DedupOps.simHash(t(s, dir, "documents"), "doc_id", "text", n = 4)
         .orderBy("sid")
+    }),
+
+    "q21_embed_neardup" -> ((s, dir) => {
+      // Exact embedding-cosine near-dup pairs (the oracle baseline; τ=0.3
+      // because the synthetic embeddings contain no planted duplicates —
+      // true neighbors top out near cos 0.39).
+      DedupOps.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("a", "b")
+    }),
+    "q22_embed_neardup_lsh" -> ((s, dir) => {
+      // Scale path: LSH-candidate generation + exact verify. Precision 1 vs
+      // q21 by construction (every pair re-scored); recall pinned in OpsSpec.
+      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3,
+          dim = 64, bits = 6, tables = 16)
+        .orderBy("a", "b")
     }),
 
     // ---------------- text analysis (documents) ----------------------------
@@ -418,6 +441,15 @@ object SparkEntry {
            FROM h JOIN m ON h.queryId = m.queryId)
          SELECT subj, pred, obj, score, partKey FROM t
          ORDER BY subj, pred, obj""",
+    "kg_comention" ->
+      s"""WITH l AS (
+           SELECT DISTINCT split_part(m.subj, '#', 1) AS convId, h.docId
+           FROM ${sp("hits5")} h JOIN ${sp("mentions")} m
+             ON h.queryId = m.queryId
+           WHERE h.rank <= 1)
+         SELECT a.docId AS src, b.docId AS dst, count(*) AS weight
+         FROM l a JOIN l b ON a.convId = b.convId AND a.docId < b.docId
+         GROUP BY a.docId, b.docId ORDER BY src, dst""",
     "kg_accuracy" ->
       s"""WITH c AS (SELECT count(*) AS n_queries,
            CAST(sum(CASE WHEN NOT interpreted THEN 1 ELSE 0 END) AS BIGINT)
@@ -495,6 +527,13 @@ object SparkEntry {
          ORDER BY qid, did""",
     "q9_minhash_lsh" -> q9OracleSql,
     "q10_simhash" -> q10OracleSql,
+    "q21_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT l.vec_id AS a, r.vec_id AS b,
+           round(list_cosine_similarity(l.v, r.v), 4) AS cos
+         FROM e l JOIN e r ON l.vec_id < r.vec_id
+         WHERE round(list_cosine_similarity(l.v, r.v), 4) >= 0.3
+         ORDER BY a, b""",
     "q11_token_counts" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

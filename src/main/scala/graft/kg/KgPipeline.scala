@@ -148,6 +148,28 @@ object KgPipeline {
       .as[Triple]
   }
 
+  /** Entity co-mention adjacency: an edge (src, dst, weight) between two
+    * linked corpus entities whenever both are top-`topRank` linked from the
+    * SAME conversation; weight = number of such conversations. The KG's
+    * materialized adjacency-table output over actual links (north-star
+    * "adjacency tables" alongside the region backbone). Scale shape: the
+    * per-conversation link list is tiny (mentions per conv ≈ turns/3), so
+    * the conv-keyed self-join is bounded per key; the edge aggregation is
+    * one hash shuffle on (src, dst). */
+  def coMentionEdges(spark: SparkSession, mentions: Dataset[MentionDoc],
+      hits: Dataset[LinkHit], topRank: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val links = hits.filter(_.rank <= topRank).toDF()
+      .join(mentions.map(m => (m.queryId, m.convId)).toDF("queryId", "convId"),
+        "queryId")
+      .select("convId", "docId").distinct()
+    links.as("l").join(links.as("r"),
+        col("l.convId") === col("r.convId") && col("l.docId") < col("r.docId"))
+      .groupBy(col("l.docId").as("src"), col("r.docId").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Region parent/child adjacency edges (the KG's backbone graph, from the
     * broadcast dictionary — `persist/AddressPersister.java:248-278` recast). */
   def regionAdjacency(spark: SparkSession, dict: Dict): DataFrame = {

@@ -184,4 +184,44 @@ object DedupOps {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
+    * round(cos, 4) ≥ threshold. O(N²) — the correctness baseline and DuckDB
+    * oracle for the LSH-accelerated variant below, exactly as brute-force
+    * top-k is for ANN search. */
+  def embeddingNearDupExact(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(AnnOps.cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, the scale path: candidate pairs from a
+    * multi-table hyperplane-LSH bucket SELF-join (each side replicates
+    * ×tables, never ×N), then exact cosine verification — so every emitted
+    * pair is a TRUE near-dup (precision 1 vs the exact variant; recall < 1,
+    * measured in OpsSpec). The verify step makes LSH false positives free
+    * apart from the wasted cosine, and the bucket join bounds the pair count
+    * at Σ_buckets n_b² instead of N². */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, dim: Int, bits: Int,
+      tables: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = AnnOps.hyperplanes(dim, bits * tables)
+    val keys = (0 until tables).map { t =>
+      AnnOps.lshBucket(col(vecCol), planes.slice(t * bits, (t + 1) * bits)) +
+        lit(t.toLong << bits)
+    }
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(keys: _*)).as("bucket"))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("a", "b") // a pair can collide in several tables
+      .select(col("a"), col("b"),
+        round(AnnOps.cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

@@ -74,4 +74,40 @@ object Str {
     }
     true
   }
+
+  /** All longest common substrings of s1 and s2, in the reference's
+    * discovery order (`StringUtil.lcs` `StringUtil.java:233-289`: outer scan
+    * over s2, inner scan over s1 descending; a strictly longer match resets
+    * the tie list, equal-length matches append — duplicates included; at
+    * most max(len1, len2) ties are kept). Rolling-row dynamic program. */
+  def lcs(s1: String, s2: String): Seq[String] = {
+    val len1 = s1.length
+    val len2 = s2.length
+    val maxLen = math.max(len1, len2)
+    if (maxLen == 0) return Seq.empty
+    val c = new Array[Int](maxLen)
+    var best = 0
+    // End indices (in s1) of the tied longest matches, capped at maxLen.
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var i = 0
+    while (i < len2) {
+      var j = len1 - 1
+      while (j >= 0) {
+        c(j) =
+          if (s2.charAt(i) == s1.charAt(j)) {
+            if (i == 0 || j == 0) 1 else c(j - 1) + 1
+          } else 0
+        if (c(j) > best) {
+          best = c(j)
+          ends.clear()
+          ends += j
+        } else if (best > 0 && c(j) == best && ends.length < maxLen) {
+          ends += j
+        }
+        j -= 1
+      }
+      i += 1
+    }
+    ends.iterator.map(e => s1.substring(e - best + 1, e + 1)).toSeq
+  }
 }

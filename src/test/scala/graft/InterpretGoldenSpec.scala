@@ -32,6 +32,18 @@ class StrSpec extends AnyFunSuite {
     assert(Str.isAnsiChars("azAZ"))
     assert(!Str.isAnsiChars("az3"))
   }
+
+  // `StringUtilTest.testLcs` `StringUtilTest.java:41-70` — all longest common
+  // substrings, reference discovery order, ties included.
+  test("lcs goldens") {
+    assert(Str.lcs("翠微西里", "翠微西里") == Seq("翠微西里"))
+    assert(Str.lcs("翠微西里", "翠微西里36号院") == Seq("翠微西里"))
+    assert(Str.lcs("翠微西里甲36号院", "翠微西里36号院") == Seq("翠微西里", "36号院"))
+    assert(Str.lcs("a翠微西里b", "c翠微西里d") == Seq("翠微西里"))
+    assert(Str.lcs("", "abc").isEmpty)
+    assert(Str.lcs("abc", "").isEmpty)
+    assert(Str.lcs("xy", "zw").isEmpty)
+  }
 }
 
 class RoadNumSpec extends AnyFunSuite {

@@ -224,6 +224,31 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(autoBcast == base)
   }
 
+  test("co-mention adjacency: edge weights count distinct conversations") {
+    val s = spark
+    import s.implicits._
+    val dummyAddr = graft.model.InterpretedAddress(0L, "", "", 0, 0, 0, 0, 0,
+      0, "", "", "", matched = true)
+    val dummyDoc = graft.model.DocVec(0L, "pk", "", Array.empty,
+      Array.empty, null, null, null, null, 0)
+    def m(qid: Long, conv: String) =
+      graft.kg.MentionDoc(qid, conv, 0, 0, dummyAddr, dummyDoc)
+    // conv A links entities {1, 2}; conv B links {1, 2, 3}; a rank-2 hit and
+    // a duplicate (same conv, same entity) must not add weight.
+    val mentions = s.createDataset(Seq(
+      m(10L, "A"), m(11L, "A"), m(20L, "B"), m(21L, "B"), m(22L, "B"),
+      m(23L, "B")))
+    val hits = s.createDataset(Seq(
+      LinkHit(10L, 1L, 0.9, 1), LinkHit(11L, 2L, 0.9, 1),
+      LinkHit(20L, 1L, 0.9, 1), LinkHit(21L, 2L, 0.9, 1),
+      LinkHit(22L, 3L, 0.9, 1),
+      LinkHit(23L, 1L, 0.9, 1), // duplicate (B, 1): distinct'd away
+      LinkHit(10L, 7L, 0.5, 2))) // rank 2: excluded at topRank=1
+    val edges = graft.kg.KgPipeline.coMentionEdges(s, mentions, hits, topRank = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edges == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), edges)
+  }
+
   test("determinism across parallelism levels") {
     val s = spark
     import s.implicits._

@@ -100,6 +100,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rMulti > rSingle, s"amplification must help: $rMulti <= $rSingle")
   }
 
+  test("embedding near-dup: lsh variant is a perfect-precision subset of exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = DedupOps.embeddingNearDupExact(e, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupOps.embeddingNearDup(e, threshold = 0.3, dim = 64,
+      bits = 6, tables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // Precision 1: every LSH pair is a true near-dup with the exact cosine.
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(math.abs(exact(k) - c) < 1e-9)
+    }
+    // Recall floor (deterministic: seeded planes + fixed data).
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"near-dup recall $recall < 0.5 (${lsh.size}/${exact.size})")
+  }
+
   test("text ops: token counts, quality, langid, fingerprints") {
     val s = spark
     import s.implicits._

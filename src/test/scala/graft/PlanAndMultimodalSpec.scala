@@ -75,7 +75,8 @@ class PlanSpec extends AnyFunSuite {
     // join): the whole 100 TB story is that these are EQUI-joins on derived
     // keys — a planner regression to CartesianProduct/BroadcastNestedLoop
     // would still pass correctness at sf0.001.
-    for (q <- Seq("q8_ngram_jaccard", "q9_minhash_lsh", "q16_ann_lsh")) {
+    for (q <- Seq("q8_ngram_jaccard", "q9_minhash_lsh", "q16_ann_lsh",
+        "q22_embed_neardup_lsh")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
       assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(400)}")
