@@ -273,6 +273,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "q23_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantized ANN (second index family next to LSH);
+      // recall < 1 by design — floor pinned in OpsSpec, rows-only here.
+      val e = t(s, dir, "embeddings")
+      AnnOps.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 64,
+          nProbe = 8)
+        .orderBy("qid", "rank")
+    }),
+
     // ---------------- events: windowed agg + sessionization ----------------
     "q17_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")

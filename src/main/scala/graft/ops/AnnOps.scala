@@ -110,6 +110,72 @@ object AnnOps {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) coarse quantization — the second standard ANN index
+    * family next to LSH, same scale shape (a cell join, never a cross
+    * product):
+    *
+    *  - centroids: a DETERMINISTIC hash-ordered sample of the corpus itself
+    *    (smallest xxhash64(id) wins) — no Lloyd iterations, because
+    *    floating-point mean accumulation is partitioning-order-dependent and
+    *    this engine pins bit-identical results under ANY partitioning; a
+    *    sampled quantizer trades a little cell balance for that guarantee.
+    *  - assignment: argmax cosine to the broadcast centroid table, one pass
+    *    per partition (the centroid table is tiny: nCells × dim doubles).
+    *  - queries probe their `nProbe` nearest cells; only those cells' corpus
+    *    vectors are scored exactly. Expected cost O(N·Q·nProbe/nCells).
+    *
+    * Recall < 1 by design; measured against `bruteForceTopK` in OpsSpec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"), col("id")).limit(nCells)
+      .select("id", "v").as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, v), i) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        (i, if (n == 0) d else d.map(_ / n))
+      }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def cellsOf(vec: Array[Float], top: Int): Array[Int] = {
+      val cs = bc.value
+      // cosine to unit centroids = dot / |vec|; |vec| constant per row, so
+      // argmax over dot alone; ties pinned by cell index.
+      val dots = cs.map { case (ci, c) =>
+        var s = 0.0; var i = 0
+        while (i < c.length && i < vec.length) { s += c(i) * vec(i); i += 1 }
+        (ci, s)
+      }
+      dots.sortBy { case (ci, s) => (-s, ci) }.take(top).map(_._1)
+    }
+
+    val cTyped = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).as("nvec")).as[(Long, Array[Float])]
+    val cCells = cTyped.mapPartitions(_.map { case (id, v) =>
+      (id, v, cellsOf(v, 1)(0))
+    }).toDF("nid", "nvec", "cell")
+    val qTyped = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qvec")).as[(Long, Array[Float])]
+    val qCells = qTyped.mapPartitions(_.flatMap { case (id, v) =>
+      cellsOf(v, nProbe).map(c => (id, v, c))
+    }).toDF("qid", "qvec", "cell")
+
+    val scored = cCells.join(broadcast(qCells), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Top-k recall of an ANN result vs the brute-force result: the fraction of
     * true top-k (qid, nid) pairs the ANN run recovered. */
   def recallVsBrute(ann: DataFrame, brute: DataFrame): Double = {

@@ -100,6 +100,22 @@ class OpsSpec extends AnyFunSuite {
     assert(rMulti > rSingle, s"amplification must help: $rMulti <= $rSingle")
   }
 
+  test("ivf ann: recall floor at 1/8 scan fraction; results are exact cosines") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+    val brute = AnnOps.bruteForceTopK(e, q, k = 5)
+    val ivf = AnnOps.ivfTopK(e, q, k = 5, nCells = 64, nProbe = 8)
+    // Deterministic (hash-sampled centroids + fixed data): measured 0.50 at
+    // nProbe/nCells = 1/8 of the corpus scanned per query.
+    assert(AnnOps.recallVsBrute(ivf, brute) >= 0.45)
+    // Every reported cosine equals the brute-force cosine for that pair.
+    val exact = AnnOps.bruteForceTopK(e, q, k = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.collect().foreach { r =>
+      assert(math.abs(exact((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("embedding near-dup: lsh variant is a perfect-precision subset of exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = DedupOps.embeddingNearDupExact(e, threshold = 0.3)

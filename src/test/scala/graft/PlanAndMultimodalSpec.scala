@@ -76,7 +76,7 @@ class PlanSpec extends AnyFunSuite {
     // keys — a planner regression to CartesianProduct/BroadcastNestedLoop
     // would still pass correctness at sf0.001.
     for (q <- Seq("q8_ngram_jaccard", "q9_minhash_lsh", "q16_ann_lsh",
-        "q22_embed_neardup_lsh")) {
+        "q22_embed_neardup_lsh", "q23_ann_ivf")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
       assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(400)}")
