@@ -227,8 +227,11 @@ object SparkEntry {
     "q21_embed_neardup" -> ((s, dir) => {
       // Exact embedding-cosine near-dup pairs (the oracle baseline; τ=0.3
       // because the synthetic embeddings contain no planted duplicates —
-      // true neighbors top out near cos 0.39).
-      DedupOps.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.3)
+      // true neighbors top out near cos 0.39). The O(N²) baseline is bounded
+      // to a 1000-vector window (a no-op at correctness scale) — exhaustive
+      // pairing at bench scale is exactly what q22's LSH path replaces.
+      DedupOps.embeddingNearDupExact(
+          t(s, dir, "embeddings").where(col("vec_id") < 1000), threshold = 0.3)
         .orderBy("a", "b")
     }),
     "q22_embed_neardup_lsh" -> ((s, dir) => {
@@ -537,7 +540,8 @@ object SparkEntry {
     "q9_minhash_lsh" -> q9OracleSql,
     "q10_simhash" -> q10OracleSql,
     "q21_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 1000)
          SELECT l.vec_id AS a, r.vec_id AS b,
            round(list_cosine_similarity(l.v, r.v), 4) AS cos
          FROM e l JOIN e r ON l.vec_id < r.vec_id

@@ -1,0 +1,14 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Engine-side surface for the native SQL functions. The expression itself
+  * lives in `org.apache.spark.sql.graft` (its input-type/Column plumbing
+  * needs `private[sql]` Catalyst APIs); this forwarder keeps call sites in
+  * the graft namespace. */
+object CosineSim {
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSim(a, b)
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.CosineSim.register(spark)
+}

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object AnnOps {
 
-  /** Cosine similarity between two array<float/double> columns, computed in
-    * double precision, 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<float> columns, double precision,
+    * 0 when either norm is 0 — the native codegen'd Catalyst expression
+    * (`graft.functions.CosineSim`). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** The original higher-order-function formulation — kept as the
+    * independent semantics witness for the native expression (OpsSpec pins
+    * native == HOF to 1e-12). HOFs run the per-element lambda outside
+    * codegen, ~20× slower per pair; never used in the hot paths. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

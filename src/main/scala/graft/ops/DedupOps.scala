@@ -215,13 +215,14 @@ object DedupOps {
     }
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(array(keys: _*)).as("bucket"))
+    // Score inside the bucket join (the native cosine is codegen-cheap),
+    // THEN dedup: the multi-table duplicate shuffle moves 24-byte
+    // (a, b, cos) rows, not two embedding vectors per candidate pair.
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
-      .dropDuplicates("a", "b") // a pair can collide in several tables
-      .select(col("a"), col("b"),
-        round(AnnOps.cosine(col("va"), col("vb")), 4).as("cos"))
+        round(AnnOps.cosine(col("l.v"), col("r.v")), 4).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct() // a pair can collide in several tables; cos is identical
   }
 }

@@ -1,0 +1,110 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two `array<float>`
+  * columns in double precision, 0 when either norm is 0.
+  *
+  * This replaces the `zip_with`/`aggregate` higher-order-function formulation
+  * (kept as `AnnOps.cosineHof` and pinned equal to 1e-12): HOFs evaluate a
+  * per-element lambda interpreter-style (~65µs/pair measured on 64-dim
+  * vectors at sf0.1), while this expression participates in whole-stage
+  * codegen as tight primitive loops. Semantics mirror the HOF version
+  * exactly: dot over the common prefix, norms over each full array,
+  * accumulation in ascending index order (pinned float determinism).
+  *
+  * Lives under `org.apache.spark.sql` because `AbstractDataType` /
+  * `ExpressionUtils` are `private[sql]` — the standard host package for
+  * third-party native expressions.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(a, b) - cosine similarity of two float arrays (double; 0 when a norm is 0).")
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    var sx = 0.0
+    i = 0
+    while (i < nx) { val v = x.getFloat(i).toDouble; sx += v * v; i += 1 }
+    var sy = 0.0
+    i = 0
+    while (i < ny) { val v = y.getFloat(i).toDouble; sy += v * v; i += 1 }
+    if (sx == 0.0 || sy == 0.0) 0.0
+    else dot / (math.sqrt(sx) * math.sqrt(sy))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val dot = ctx.freshName("dot")
+      val sx = ctx.freshName("sx")
+      val sy = ctx.freshName("sy")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $sx = 0.0, $sy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  double $v = (double) $x.getFloat($i); $sx += $v * $v;
+         |}
+         |for (int $i = 0; $i < $y.numElements(); $i++) {
+         |  double $v = (double) $y.getFloat($i); $sy += $v * $v;
+         |}
+         |${ev.value} = ($sx == 0.0 || $sy == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($sx) * java.lang.Math.sqrt($sy));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Column-API entry point (what AnnOps/DedupOps use). */
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private def info: ExpressionInfo =
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
+
+  /** Make `cosine_sim` callable from SQL on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), info,
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+}
+
+/** SparkSessionExtensions hook: `--conf spark.sql.extensions=
+  * org.apache.spark.sql.graft.GraftExtensions` (or `.withExtensions`)
+  * injects the engine's SQL functions into every session of the context. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+  }
+}

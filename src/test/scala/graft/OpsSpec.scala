@@ -100,6 +100,40 @@ class OpsSpec extends AnyFunSuite {
     assert(rMulti > rSingle, s"amplification must help: $rMulti <= $rSingle")
   }
 
+  test("native CosineSim == HOF cosine to 1e-12; codegen + SQL registration") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val both = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        AnnOps.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        AnnOps.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    val drift = both.select(max(abs(col("native") - col("hof")))).head().getDouble(0)
+    assert(drift < 1e-12, s"native vs HOF cosine drift $drift")
+    // Zero-norm edge: both formulations return 0.
+    val z = Seq((0L, Array.fill(4)(0.0f)), (1L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val zc = z.as("a").join(z.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(AnnOps.cosine(col("a.embedding"), col("b.embedding"))).head().getDouble(0)
+    assert(zc == 0.0)
+    // The expression participates in whole-stage codegen.
+    val codegen = both.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(300))
+    // SQL surface: registry injection makes cosine_sim callable from SQL.
+    graft.functions.CosineSim.register(s)
+    vecs.createOrReplaceTempView("cosine_sim_vecs")
+    val viaSql = s.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+         FROM cosine_sim_vecs a JOIN cosine_sim_vecs b ON a.vec_id < b.vec_id
+         ORDER BY a.vec_id, b.vec_id LIMIT 1""").head().getDouble(0)
+    assert(!viaSql.isNaN)
+  }
+
   test("ivf ann: recall floor at 1/8 scan fraction; results are exact cosines") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 10)
