@@ -61,13 +61,20 @@ object Accuracy {
       .select((col("queryId") - n).as("pair_id"),
         col("similarity"), col("pred_grid"))
 
-    labels.select($"id".as("pair_id"), $"gridId".as("true_grid"))
+    val status = labels.select($"id".as("pair_id"), $"gridId".as("true_grid"))
       .join(interpreted, Seq("pair_id"), "left")
       .join(predicted, Seq("pair_id"), "left")
       .select(col("pair_id"),
         coalesce(col("interpreted"), lit(false)).as("interpreted"),
         col("pred_grid").isNotNull.as("linked"),
         col("similarity"), col("pred_grid"), col("true_grid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Force the small status table, then release the heavy upstream caches —
+    // the shared-session test suite (and repeated Verify queries) would
+    // otherwise accumulate doc/idf/query vectors nothing reads again.
+    status.count()
+    Seq(pairs, docs, idf, docsIdf, qdocs).foreach(_.unpersist())
+    status
   }
 
   /** One summary row from the status table. Rates are plain IEEE divisions of

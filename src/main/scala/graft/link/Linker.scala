@@ -291,7 +291,8 @@ object Linker {
   def linkTopKAuto(spark: SparkSession, queries: Dataset[DocVec],
       docs: Dataset[DocVec], topN: Int,
       targetPairsPerCell: Long = 1L << 22, maxDocsPerCell: Int = 1 << 16,
-      maxQBuckets: Int = 256, bcastQMax: Long = 512): Dataset[LinkHit] = {
+      maxQBuckets: Int = 256, bcastQMax: Long = 512,
+      bcastTotalMax: Long = 1L << 17): Dataset[LinkHit] = {
     import spark.implicits._
     // Both sides' per-partKey counts in ONE job (fixed per-job overhead is
     // the measured scaling bound on this box — don't pay it twice).
@@ -306,9 +307,20 @@ object Linker {
     val qCounts = stats.iterator.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
     val dCounts = stats.iterator.map(s => s._1 -> s._3).toMap
 
-    val bcastPks = qCounts.keysIterator.filter { pk =>
-      qCounts(pk) <= bcastQMax && dCounts.getOrElse(pk, 0L) >= maxDocsPerCell
-    }.toSet
+    // Broadcast route: narrow-query/huge-doc partitions, ordered by doc
+    // count (largest shuffle saving first), under a TOTAL driver-collect
+    // budget — with many qualifying districts the route must not collect
+    // unbounded query rows; overflow districts stay on the shuffle path.
+    var bcastBudget = bcastTotalMax
+    val bcastPks = qCounts.keysIterator
+      .filter { pk =>
+        qCounts(pk) <= bcastQMax && dCounts.getOrElse(pk, 0L) >= maxDocsPerCell
+      }
+      .toSeq.sortBy(pk => (-dCounts(pk), pk))
+      .filter { pk => // not takeWhile: a later, smaller district may still fit
+        val q = qCounts(pk)
+        if (q <= bcastBudget) { bcastBudget -= q; true } else false
+      }.toSet
     val shufflePks = qCounts.keySet -- bcastPks
 
     // Parallelism floor: when total work is far below cluster capacity ×

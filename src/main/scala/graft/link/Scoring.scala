@@ -103,9 +103,6 @@ object Scoring {
 
     /** Index of the LAST term (in doc order) whose text equals the other
       * side's term `oIx`, or -1. */
-    /** Term text at index i, reconstructed from the packed layout. */
-    def textAt(i: Int): String = new String(packed, offs(i), offs(i + 1) - offs(i))
-
     def lookupLast(h: Int, o: Side, oIx: Int): Int = {
       var p = lowerBound(h)
       var best = -1
@@ -116,6 +113,10 @@ object Scoring {
       }
       best
     }
+
+    /** Term text at index i, reconstructed from the packed layout
+      * (explain path only — the kernel never materializes Strings). */
+    def textAt(i: Int): String = new String(packed, offs(i), offs(i + 1) - offs(i))
 
     /** Index of the FIRST Text-type term with equal text, or -1. */
     def lookupFirstX(h: Int, o: Side, oIx: Int): Int = {

@@ -107,10 +107,12 @@ object AnnOps {
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(array(qKeys: _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val joined = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
-      .distinct() // a pair can collide in several tables/probed buckets
+    // Single table + single probe cannot produce duplicate pairs — skip the
+    // dedup shuffle there.
+    val scored = if (tables > 1 || probes > 1) joined.distinct() else joined
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

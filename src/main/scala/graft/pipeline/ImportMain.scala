@@ -51,6 +51,20 @@ object ImportMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     try {
+      // Stage resume is keyed by outRoot alone — guard against silently
+      // serving a PREVIOUS input's checkpointed stages when the caller
+      // reuses an output root with different inputs.
+      val fp = s"$corpusPath|$turnsPath|$topN"
+      val fpPath = java.nio.file.Paths.get(outRoot, "_input_fingerprint")
+      if (java.nio.file.Files.exists(fpPath)) {
+        val prev = java.nio.file.Files.readString(fpPath)
+        require(prev == fp,
+          s"outRoot $outRoot holds checkpoints for different inputs ($prev); " +
+          "use a fresh outRoot or delete it to re-ingest")
+      } else {
+        java.nio.file.Files.createDirectories(fpPath.getParent)
+        java.nio.file.Files.writeString(fpPath, fp)
+      }
       val dict = spark.sparkContext.broadcast(Dict.default())
       val corpus = corpusFromFile(spark, corpusPath)
       val turns = spark.read.parquet(turnsPath).as[graft.model.Turn]

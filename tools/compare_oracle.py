@@ -28,9 +28,13 @@ def main(sf_dir: str, vout: str) -> int:
         qdir = os.path.join(vout, qname)
         if not os.path.isdir(qdir) or qname == "stage":
             continue
-        spark_df = pd.concat(
-            [pd.read_parquet(f) for f in sorted(glob.glob(os.path.join(qdir, "*.parquet")))],
-            ignore_index=True)
+        parts = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
+        if not parts:
+            print(f"{qname}: NO_SPARK_OUTPUT (empty dir)")
+            bad += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in parts],
+                             ignore_index=True)
         if qname not in oracle:
             print(f"{qname}: no_oracle (spark_rows={len(spark_df)})")
             continue
