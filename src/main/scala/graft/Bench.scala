@@ -29,6 +29,10 @@ object Bench {
       // Size-based coalescing merges compute-heavy-but-small scoring cells;
       // partition bytes don't reflect O(|q|*|d|) pair work (see Linker).
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // The engine's SQL functions (cosine_sim) ride the standard extension
+      // hook — the bench session exercises the same injection a spark-submit
+      // `--conf spark.sql.extensions=` deployment uses.
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -81,17 +85,20 @@ object Bench {
       // Warmup: tiny synthetic slice through the identical code path.
       val wc = SynthCorpus.corpusDS(spark, bdict, 500, 4, 42)
       val wt = SynthCorpus.transcriptsDS(spark, bdict, 150, 4, 7)
-      KgPipeline.run(spark, wt, wc, bdict, 5)._2.count()
+      val warm = KgPipeline.run(spark, wt, wc, bdict, 5)
+      warm.triples.count()
+      warm.unpersistAll()
 
       val corpus = spark.read.parquet(s"$inputDir/corpus")
         .select("id", "rawText").as[(Long, String)]
       val turns = spark.read.parquet(s"$inputDir/turns").as[graft.model.Turn]
       val nTurns = turns.count()
       val t0 = System.nanoTime()
-      val (_, triples, hits) = KgPipeline.run(spark, turns, corpus, bdict, 5)
-      triples.count()
-      val linked = hits.select("queryId").distinct().count() // cheap: hits cached
+      val r = KgPipeline.run(spark, turns, corpus, bdict, 5)
+      r.triples.count()
+      val linked = r.hits.select("queryId").distinct().count() // cheap: hits cached
       val sec = (System.nanoTime() - t0) / 1e9
+      r.unpersistAll()
       (nTurns, linked, sec)
     } finally spark.stop()
   }
@@ -101,15 +108,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val dict = Dict.default()
 
-    // 1. Per-query timings at the configured core count.
+    // 1. Per-query timings at the configured core count — MIN OF 2 passes.
+    //    This box has measured multi-× contention noise (round-2's driver
+    //    bench recorded a 5.8× suite "regression" a fresh session could not
+    //    reproduce); min is the least-biased cheap estimator of the job's
+    //    true cost, and pass 1 doubles as JIT/codegen warmup.
     val spark = session(cpus)
-    val results: Seq[(String, Double)] =
+    def timeQueries(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
+      }
+    val passes = Seq(timeQueries(), timeQueries())
+    val results: Seq[(String, Double)] =
+      passes.head.map(_._1).map { name =>
+        name -> passes.map(_.toMap.apply(name)).min
       }
     spark.stop()
 
@@ -122,45 +138,70 @@ object Bench {
     writeScalingInput(sfDir, dict, inputDir)
     val core2 = math.max(1, cpus / 16)
     val core8 = math.max(1, cpus / 4)
-    // Best-of-2 per point: the box has noisy co-tenants; min is the least-
-    // biased estimate of the job's true cost.
-    def best(cores: Int): (Long, Long, Double) = {
-      val a = pipelineRun(cores, inputDir, dict)
-      val b = pipelineRun(cores, inputDir, dict)
-      if (a._3 <= b._3) a else b
+    // Contention canary: a FIXED single-thread busy loop timed before each
+    // scaling point. Its spread across points exposes ambient co-tenant load
+    // that would otherwise masquerade as a scaling change (round-2's 2-core
+    // sample ran 50% slower than round-1's at identical code).
+    def canarySec(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0L
+      while (i < 2000000000L) { x += i | 1L; i += 1 }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
     }
-    val (turnsC, linkedC, sec2) = best(core2)
-    val (_, _, sec8) = best(core8)
-    val (_, _, sec32) = best(cpus)
-    val tps2 = turnsC / sec2
-    val tps8 = turnsC / sec8
-    val tps32 = turnsC / sec32
+    // Best-of-reps per point (min): the box has noisy co-tenants. The 2-core
+    // denominator gets 3 reps — it is the efficiency headline's divisor and
+    // round 2 showed a single bad sample pollutes the whole gate.
+    final case class Point(cores: Int, turns: Long, linked: Long, sec: Double,
+        samples: Seq[Double], canary: Double)
+    def best(cores: Int, reps: Int): Point = {
+      val canary = canarySec()
+      val runs = (1 to reps).map(_ => pipelineRun(cores, inputDir, dict))
+      val b = runs.minBy(_._3)
+      Point(cores, b._1, b._2, b._3, runs.map(_._3), canary)
+    }
+    val p2 = best(core2, 3)
+    val p8 = best(core8, 2)
+    val p32 = best(cpus, 2)
+    val turnsC = p2.turns; val linkedC = p2.linked
+    val tps2 = turnsC / p2.sec
+    val tps8 = turnsC / p8.sec
+    val tps32 = turnsC / p32.sec
     val eff28 = tps8 / ((core8.toDouble / core2) * tps2)
     val eff832 = tps32 / ((cpus.toDouble / core8) * tps8)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val scaling =
-      f"""{"cores_n":$core2,"tps_n":$tps2%.1f,"sec_n":$sec2%.2f,""" +
-      f""""cores_4n":$core8,"tps_4n":$tps8%.1f,"sec_4n":$sec8%.2f,""" +
-      f""""cores_16n":$cpus,"tps_16n":$tps32%.1f,"sec_16n":$sec32%.2f,""" +
+      f"""{"cores_n":$core2,"tps_n":$tps2%.1f,"sec_n":${p2.sec}%.2f,""" +
+      f""""cores_4n":$core8,"tps_4n":$tps8%.1f,"sec_4n":${p8.sec}%.2f,""" +
+      f""""cores_16n":$cpus,"tps_16n":$tps32%.1f,"sec_16n":${p32.sec}%.2f,""" +
       f""""turns":$turnsC,"linked_turns":$linkedC,""" +
-      f""""efficiency":$eff28%.3f,"efficiency_8_32":$eff832%.3f}"""
+      f""""efficiency":$eff28%.3f,"efficiency_8_32":$eff832%.3f,""" +
+      s""""runs_n":${arr(p2.samples)},"runs_4n":${arr(p8.samples)},""" +
+      s""""runs_16n":${arr(p32.samples)},""" +
+      f""""canary_n":${p2.canary}%.2f,"canary_4n":${p8.canary}%.2f,"canary_16n":${p32.canary}%.2f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
     // 3. Persist the scaling evidence for BASELINE.md's target table.
+    def spread(p: Point): String = p.samples.map(x => f"$x%.1f").mkString(" / ")
     val report =
       f"""## BENCH — transcript→KG throughput scaling (latest run)
          |
          |Same checkpoint-shaped job, same parquet input ($sfDir synthetic
-         |scale: $turnsC turns, $linkedC linked), single 32-core machine:
+         |scale: $turnsC turns, $linkedC linked), single 32-core machine.
+         |Per point: best-of-N wall seconds with ALL samples shown (this box
+         |has multi-× ambient noise), plus a fixed single-thread canary loop
+         |timed before the point — canary spread = ambient contention, not
+         |code.
          |
-         || cores | wall sec | turns/sec |
-         ||---|---|---|
-         || $core2 | $sec2%.2f | $tps2%.1f |
-         || $core8 | $sec8%.2f | $tps8%.1f |
-         || $cpus | $sec32%.2f | $tps32%.1f |
+         || cores | best sec | all samples (sec) | canary (sec) | turns/sec |
+         ||---|---|---|---|---|
+         || $core2 | ${p2.sec}%.2f | ${spread(p2)} | ${p2.canary}%.2f | $tps2%.1f |
+         || $core8 | ${p8.sec}%.2f | ${spread(p8)} | ${p8.canary}%.2f | $tps8%.1f |
+         || $cpus | ${p32.sec}%.2f | ${spread(p32)} | ${p32.canary}%.2f | $tps32%.1f |
          |
          |Scaling efficiency N→4N ($core2→$core8 cores, target >= 0.8): **$eff28%.3f**
          |Saturation data $core8→$cpus cores: $eff832%.3f — the all-core run

@@ -12,3 +12,15 @@ object CosineSim {
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graft.CosineSim.register(spark)
 }
+
+/** Native sign-bit hyperplane-LSH bucket key (see `HyperplaneBits`). */
+object HyperplaneBits {
+  def apply(vec: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.HyperplaneBits(vec, planes)
+}
+
+/** Confidence-ordered multi-probe LSH buckets (see `HyperplaneProbes`). */
+object HyperplaneProbes {
+  def apply(vec: Column, planes: Array[Array[Double]], nProbes: Int): Column =
+    org.apache.spark.sql.graft.HyperplaneProbes(vec, planes, nProbes)
+}

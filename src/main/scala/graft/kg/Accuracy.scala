@@ -109,8 +109,15 @@ object Accuracy {
   }
 
   /** Evaluate on a deterministic synthetic labeled set of `n` pairs.
-    * Returns one summary row. */
+    * Returns one summary row, already materialized — the status cache (the
+    * one persist `statusTable` leaves alive) is released before returning,
+    * so repeated calls in a shared session hold zero storage. */
   def evaluate(spark: SparkSession, dict: Broadcast[Dict], n: Long,
-      nDistricts: Int, seed: Long): DataFrame =
-    summarize(statusTable(spark, dict, n, nDistricts, seed))
+      nDistricts: Int, seed: Long): DataFrame = {
+    val status = statusTable(spark, dict, n, nDistricts, seed)
+    val summary = summarize(status)
+    val rows = summary.collect() // exactly one row
+    status.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
+  }
 }

@@ -180,7 +180,25 @@ object KgPipeline {
       .toDF("src", "dst", "edgeType")
   }
 
-  /** End-to-end: turns + historical corpus → (mentions, triples, hits).
+  /** One pipeline run's outputs plus ownership of the caches it holds.
+    * `run` persists five datasets (the expensive shared stages); without a
+    * release seam every invocation in a long-lived session (Verify, Bench, a
+    * service) leaks them — measured 30 persistent RDDs after 7 driver
+    * queries in round 2. Callers materialize what they need from the
+    * outputs, then call `unpersistAll()`. The intermediate `docsIdf`/`idf`
+    * stages are exposed for consumers that extend the run (per-term explain,
+    * stage materialization) without re-deriving them. */
+  final case class KgRun(
+      mentions: Dataset[MentionDoc],
+      triples: Dataset[Triple],
+      hits: Dataset[LinkHit],
+      idf: Dataset[graft.model.IdfRow],
+      docsIdf: Dataset[DocVec],
+      private val cached: Seq[Dataset[_]]) {
+    def unpersistAll(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** End-to-end: turns + historical corpus → KgRun(mentions, triples, hits).
     * topN per the reference query default.
     *
     * The interpret stages (buildDocs, detectMentions) are the expensive
@@ -189,10 +207,12 @@ object KgPipeline {
     * reference's per-district doc/IDF memoization,
     * `SimilarityComputer.java:567-613`). MEMORY_AND_DISK: partitions spill
     * rather than recompute at scale. In the checkpointed-stage runner these
-    * become materialized tables instead. */
+    * become materialized tables instead. The returned KgRun owns the five
+    * persists — callers release them via `unpersistAll()` once outputs are
+    * materialized. */
   def run(spark: SparkSession, turns: Dataset[Turn],
       corpus: Dataset[(Long, String)], dict: Broadcast[Dict], topN: Int)
-      : (Dataset[MentionDoc], Dataset[Triple], Dataset[LinkHit]) = {
+      : KgRun = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     // Exact ingest dedup first (`AddressPersister.isDuplicatedAddress`
@@ -212,6 +232,7 @@ object KgPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = mentionTriples(spark, mentions, dict)
       .union(linkTriples(spark, mentions, hits))
-    (mentions, triples, hits)
+    KgRun(mentions, triples, hits, idf, docsIdf,
+      Seq(docs, idf, docsIdf, mentions, hits))
   }
 }

@@ -61,8 +61,16 @@ object AnnOps {
   }
 
   /** Sign-bit LSH bucket key for an embedding column: bit b set iff
-    * dot(vec, plane_b) > 0. Pure column expressions over literal planes. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    * dot(vec, plane_b) > 0 — the native codegen'd Catalyst expression
+    * (round 2 measured the HOF formulation as the q16/q22 hot-path constant:
+    * bits×tables interpreted lambdas per corpus row). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.HyperplaneBits(vec, planes)
+
+  /** The original higher-order-function formulation — kept as the
+    * independent semantics witness (OpsSpec pins native == HOF exactly:
+    * both accumulate the same doubles in the same order). */
+  def lshBucketHof(vec: Column, planes: Array[Array[Double]]): Column = {
     val vd = transform(vec, x => x.cast("double"))
     planes.zipWithIndex.map { case (p, b) =>
       val planeLit = array(p.map(lit): _*)
@@ -83,8 +91,10 @@ object AnnOps {
     *    trade; at 100 TB this is the knob you budget, and the alternative
     *    IVF layout shares the same join shape).
     *  - `probes`: per table, also probe the hamming-1 buckets flipping the
-    *    lowest `probes-1` bits — replicates only the tiny broadcast QUERY
-    *    side, corpus untouched.
+    *    `probes-1` LEAST-CONFIDENT bits (smallest |dot| — Lv et al.
+    *    multi-probe, VLDB 2007): the near-boundary sign bits are the ones a
+    *    true neighbor most plausibly landed across. Replicates only the
+    *    tiny broadcast QUERY side, corpus untouched.
     * Both leave the scale shape intact: a bucket join, never a cross
     * product. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
@@ -98,15 +108,15 @@ object AnnOps {
     }
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       explode(array(cKeys: _*)).as("bucket"))
-    val qKeys = (0 until tables).flatMap { t =>
-      val base = lshBucket(col(vecCol), tablePlanes(t))
-      (0 until math.min(probes, bits + 1)).map { i =>
-        (if (i == 0) base else base.bitwiseXOR(shiftleft(lit(1L), i - 1))) +
-          lit(t.toLong << bits)
-      }
+    val qKeys = (0 until tables).map { t =>
+      // Confidence-ordered probe buckets, shifted into this table's key
+      // space (the transform HOF is fine here: a handful of QUERY rows).
+      transform(
+        graft.functions.HyperplaneProbes(col(vecCol), tablePlanes(t), probes),
+        b => b + lit(t.toLong << bits))
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      explode(array(qKeys: _*)).as("bucket"))
+      explode(flatten(array(qKeys: _*))).as("bucket"))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))

@@ -53,8 +53,31 @@ object ImportMain {
     try {
       // Stage resume is keyed by outRoot alone — guard against silently
       // serving a PREVIOUS input's checkpointed stages when the caller
-      // reuses an output root with different inputs.
-      val fp = s"$corpusPath|$turnsPath|$topN"
+      // reuses an output root with different inputs. The fingerprint covers
+      // CONTENT identity (size + mtime, recursive for parquet dirs), not
+      // just the path strings: editing an input in place and re-running
+      // with the same outRoot must invalidate, not resume.
+      def contentId(path: String): String = {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            var n = 0L; var len = 0L; var mt = 0L
+            walk.filter(f => java.nio.file.Files.isRegularFile(f)).forEach { f =>
+              n += 1
+              len += java.nio.file.Files.size(f)
+              mt = math.max(mt,
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            }
+            s"dir:$n:$len:$mt"
+          } finally walk.close()
+        } else if (java.nio.file.Files.exists(p))
+          s"file:${java.nio.file.Files.size(p)}:${
+            java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+        else "missing"
+      }
+      val fp = s"$corpusPath|$turnsPath|$topN|" +
+        s"${contentId(corpusPath)}|${contentId(turnsPath)}"
       val fpPath = java.nio.file.Paths.get(outRoot, "_input_fingerprint")
       if (java.nio.file.Files.exists(fpPath)) {
         val prev = java.nio.file.Files.readString(fpPath)

@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, TypeCollection}
 
-/** Native Catalyst expression: cosine similarity of two `array<float>`
-  * columns in double precision, 0 when either norm is 0.
+/** Native Catalyst expression: cosine similarity of two `array<float>` or
+  * `array<double>` columns in double precision, 0 when either norm is 0.
+  * Each side's element type is honored as-is (no silent float downcast of
+  * double embeddings — round-2 advice): float elements are widened to double
+  * at read, exactly like the HOF formulation's `cast("double")`.
   *
   * This replaces the `zip_with`/`aggregate` higher-order-function formulation
   * (kept as `AnnOps.cosineHof` and pinned equal to 1e-12): HOFs evaluate a
@@ -28,26 +31,39 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with Serializable {
 
+  // def, not val: TypeCollection is not Serializable and must not become an
+  // instance field shipped with the expression tree.
+  private def floatOrDoubleArray: TypeCollection =
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    Seq(floatOrDoubleArray, floatOrDoubleArray)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  private def isDoubleElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDoubleElem(left)
+    val yd = isDoubleElem(right)
+    @inline def ex(i: Int): Double = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+    @inline def ey(i: Int): Double = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
     val nx = x.numElements()
     val ny = y.numElements()
     val n = math.min(nx, ny)
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { dot += ex(i) * ey(i); i += 1 }
     var sx = 0.0
     i = 0
-    while (i < nx) { val v = x.getFloat(i).toDouble; sx += v * v; i += 1 }
+    while (i < nx) { val v = ex(i); sx += v * v; i += 1 }
     var sy = 0.0
     i = 0
-    while (i < ny) { val v = y.getFloat(i).toDouble; sy += v * v; i += 1 }
+    while (i < ny) { val v = ey(i); sy += v * v; i += 1 }
     if (sx == 0.0 || sy == 0.0) 0.0
     else dot / (math.sqrt(sx) * math.sqrt(sy))
   }
@@ -60,17 +76,22 @@ case class CosineSim(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       val n = ctx.freshName("n")
+      // Element accessors resolved at codegen time from the child types.
+      def get(arr: String, idx: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($idx)" else s"((double) $arr.getFloat($idx))"
+      val gx = get(x, i, isDoubleElem(left))
+      val gy = get(y, i, isDoubleElem(right))
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $sx = 0.0, $sy = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $dot += $gx * $gy;
          |}
          |for (int $i = 0; $i < $x.numElements(); $i++) {
-         |  double $v = (double) $x.getFloat($i); $sx += $v * $v;
+         |  double $v = $gx; $sx += $v * $v;
          |}
          |for (int $i = 0; $i < $y.numElements(); $i++) {
-         |  double $v = (double) $y.getFloat($i); $sy += $v * $v;
+         |  double $v = $gy; $sy += $v * $v;
          |}
          |${ev.value} = ($sx == 0.0 || $sy == 0.0) ? 0.0
          |  : $dot / (java.lang.Math.sqrt($sx) * java.lang.Math.sqrt($sy));

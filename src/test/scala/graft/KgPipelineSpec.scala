@@ -89,8 +89,8 @@ class KgPipelineSpec extends AnyFunSuite {
     val corpusDs = s.createDataset(corpusRows).repartition(7)
     val turnsDs = s.createDataset(turnRows).repartition(5)
 
-    val (mentions, triples, hits) =
-      KgPipeline.run(s, turnsDs, corpusDs, bdict, TopN)
+    val run = KgPipeline.run(s, turnsDs, corpusDs, bdict, TopN)
+    val (mentions, triples, hits) = (run.mentions, run.triples, run.hits)
 
     // Oracle side.
     val oDocs = oracleDocs(corpusRows)
@@ -257,12 +257,13 @@ class KgPipelineSpec extends AnyFunSuite {
     val bdict = s.sparkContext.broadcast(d0)
 
     def runWith(parts: Int): Set[(String, String, String, String, Long)] = {
-      val (_, triples, _) = KgPipeline.run(s,
+      val r = KgPipeline.run(s,
         s.createDataset(turnRows).repartition(parts),
         s.createDataset(corpusRows).repartition(parts), bdict, TopN)
-      triples.collect().map(t =>
+      try r.triples.collect().map(t =>
         (t.subj, t.pred, t.obj, t.partKey,
           java.lang.Double.doubleToLongBits(t.score))).toSet
+      finally r.unpersistAll()
     }
     assert(runWith(2) == runWith(9))
   }

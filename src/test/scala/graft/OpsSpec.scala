@@ -83,6 +83,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native HyperplaneBits == HOF lshBucket exactly; probes confidence-ordered") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val planes = AnnOps.hyperplanes(32, 12, seed = 5)
+    // Exact equality (not tolerance): both accumulate the same doubles in
+    // the same order, so the sign bits must agree bit-for-bit.
+    val both = vecs.select(
+      AnnOps.lshBucket(col("embedding"), planes).as("native"),
+      AnnOps.lshBucketHof(col("embedding"), planes).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    // Corpus-side bucket expression participates in whole-stage codegen.
+    val codegen = both.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(300))
+    // Probe list: first element IS the base bucket; every other probe is
+    // hamming-1 from it; count = min(nProbes, bits+1); no duplicates.
+    val pr = vecs.select(col("embedding"),
+        graft.functions.HyperplaneBits(col("embedding"), planes).as("base"),
+        graft.functions.HyperplaneProbes(col("embedding"), planes, 4).as("probes"))
+      .collect()
+    pr.foreach { r =>
+      val base = r.getLong(1)
+      val probes = r.getSeq[Long](2)
+      assert(probes.length == 4 && probes.head == base)
+      assert(probes.tail.forall(p => java.lang.Long.bitCount(p ^ base) == 1))
+      assert(probes.distinct.length == probes.length)
+    }
+  }
+
   test("lsh ann recall vs brute force: multi-table amplification reaches 0.8") {
     // Deterministic: seeded hyperplanes + fixed testdata ⇒ exact recall.
     // True top-5 neighbors in the synthetic embeddings sit at cosine ≈ 0.3
@@ -93,10 +126,15 @@ class OpsSpec extends AnyFunSuite {
     val brute = AnnOps.bruteForceTopK(e, q, k = 5)
     val single = AnnOps.lshTopK(e, q, k = 5, dim = 64, bits = 6)
     val multi = AnnOps.lshTopK(e, q, k = 5, dim = 64, bits = 6,
-      probes = 2, tables = 16)
+      probes = 3, tables = 16)
     val rSingle = AnnOps.recallVsBrute(single, brute)
     val rMulti = AnnOps.recallVsBrute(multi, brute)
-    assert(rMulti >= 0.8, s"multi-table recall $rMulti < 0.8")
+    info(s"recall single=$rSingle multi=$rMulti")
+    // Confidence-ordered multi-probe (flip smallest-|dot| bits) raised the
+    // floor from 0.8 (round-2 lowest-index flips at probes=2) to 0.85;
+    // measured 0.90 at probes=3/tables=16, probes replicating only the
+    // broadcast query side.
+    assert(rMulti >= 0.85, s"multi-table recall $rMulti < 0.85")
     assert(rMulti > rSingle, s"amplification must help: $rMulti <= $rSingle")
   }
 
@@ -124,6 +162,20 @@ class OpsSpec extends AnyFunSuite {
     val codegen = both.queryExecution.explainString(
       org.apache.spark.sql.execution.CodegenMode)
     assert(codegen.contains("WholeStageCodegen"), codegen.take(300))
+    // array<double> inputs are honored as-is (no silent float downcast —
+    // round-2 advice): native == HOF on double embeddings too.
+    val dvecs = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+    val dd = dvecs.as("a").join(dvecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(AnnOps.cosine(col("a.dv"), col("b.dv")).as("native"),
+        AnnOps.cosineHof(col("a.dv"), col("b.dv")).as("hof"))
+    val ddrift = dd.select(max(abs(col("native") - col("hof")))).head().getDouble(0)
+    assert(ddrift < 1e-12, s"double-array native vs HOF drift $ddrift")
+    // Mixed float × double sides also resolve (per-side accessors).
+    val mixed = vecs.as("a").join(dvecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(AnnOps.cosine(col("a.embedding"), col("b.dv")).as("c"))
+      .agg(max(abs(col("c")))).head().getDouble(0)
+    assert(mixed <= 1.0 + 1e-9)
     // SQL surface: registry injection makes cosine_sim callable from SQL.
     graft.functions.CosineSim.register(s)
     vecs.createOrReplaceTempView("cosine_sim_vecs")
