@@ -44,15 +44,18 @@ object Bench {
   private def scalingSizes(sfDir: String): (Long, Long, Int) = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.001)
-    // Sized so parallel compute dominates the ~8s of fixed job overhead —
-    // the representative regime for the 10^12-turn design point — while a
-    // 2-core run still finishes in minutes. GRAFT_SCALE_MULT multiplies the
-    // input (Amdahl evidence runs: fixed overhead F stays constant while
-    // parallel work W grows, so efficiency must rise with the multiplier if
-    // F — not a serial stage — is the bound).
+    // Sized so parallel compute W dominates the measured ~20s fixed per-job
+    // overhead F (the three round-1 points fit T(c) = F + W/c almost
+    // exactly: F≈20s, W≈360s) — the representative regime for the
+    // 10^12-turn design point, where F is invisible. Round 3's inverted-
+    // index candidate pruning halved W at fixed input, which would have let
+    // F dominate the ratio again, so the sf0.1 standard input is 4× the
+    // round-2 size at roughly the round-2 wall clock. GRAFT_SCALE_MULT
+    // still multiplies the input for Amdahl evidence runs (efficiency must
+    // rise with the multiplier iff F — not a serial stage — is the bound).
     val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toDouble
     val (c, v, d) =
-      if (sf >= 0.1) (90000L, 80000L, 12)
+      if (sf >= 0.1) (360000L, 320000L, 12)
       else if (sf >= 0.01) (20000L, 16000L, 8)
       else (3000L, 1500L, 5)
     ((c * mult).toLong, (v * mult).toLong, d)
@@ -73,21 +76,24 @@ object Bench {
   }
 
   /** Full transcript→KG pipeline wall time at a given core count; returns
-    * (turns, linkedMentions, seconds). Reads the shared parquet input. A
-    * small warmup run first takes JIT compilation of the scoring kernel and
-    * codegen out of the timed window (single-JVM local mode would otherwise
-    * bias whichever core count runs first). */
-  private def pipelineRun(cpus: Int, inputDir: String, dict: Dict): (Long, Long, Double) = {
+    * (turns, linkedMentions, seconds). Reads the shared parquet input. The
+    * optional warmup run takes JIT compilation of the scoring kernel and
+    * codegen out of the timed window — needed ONCE per JVM (the suite pass
+    * and min-of-3 reps keep everything hot afterwards), not per session. */
+  private def pipelineRun(cpus: Int, inputDir: String, dict: Dict,
+      warmup: Boolean = false): (Long, Long, Double) = {
     val spark = session(cpus)
     try {
       import spark.implicits._
       val bdict = spark.sparkContext.broadcast(dict)
-      // Warmup: tiny synthetic slice through the identical code path.
-      val wc = SynthCorpus.corpusDS(spark, bdict, 500, 4, 42)
-      val wt = SynthCorpus.transcriptsDS(spark, bdict, 150, 4, 7)
-      val warm = KgPipeline.run(spark, wt, wc, bdict, 5)
-      warm.triples.count()
-      warm.unpersistAll()
+      if (warmup) {
+        // Tiny synthetic slice through the identical code path.
+        val wc = SynthCorpus.corpusDS(spark, bdict, 500, 4, 42)
+        val wt = SynthCorpus.transcriptsDS(spark, bdict, 150, 4, 7)
+        val warm = KgPipeline.run(spark, wt, wc, bdict, 5)
+        warm.triples.count()
+        warm.unpersistAll()
+      }
 
       val corpus = spark.read.parquet(s"$inputDir/corpus")
         .select("id", "rawText").as[(Long, String)]
@@ -149,20 +155,25 @@ object Bench {
       if (x == 42L) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    // Best-of-reps per point (min): the box has noisy co-tenants. The 2-core
-    // denominator gets 3 reps — it is the efficiency headline's divisor and
-    // round 2 showed a single bad sample pollutes the whole gate.
+    // Best-of-3 per point (min): the box has noisy co-tenants, and the rep
+    // count must be EQUAL across points — an asymmetric min (more reps on
+    // one side) biases the efficiency ratio itself.
     final case class Point(cores: Int, turns: Long, linked: Long, sec: Double,
         samples: Seq[Double], canary: Double)
+    var firstRun = true
     def best(cores: Int, reps: Int): Point = {
       val canary = canarySec()
-      val runs = (1 to reps).map(_ => pipelineRun(cores, inputDir, dict))
+      val runs = (1 to reps).map { _ =>
+        val r = pipelineRun(cores, inputDir, dict, warmup = firstRun)
+        firstRun = false
+        r
+      }
       val b = runs.minBy(_._3)
       Point(cores, b._1, b._2, b._3, runs.map(_._3), canary)
     }
     val p2 = best(core2, 3)
-    val p8 = best(core8, 2)
-    val p32 = best(cpus, 2)
+    val p8 = best(core8, 3)
+    val p32 = best(cpus, 3)
     val turnsC = p2.turns; val linkedC = p2.linked
     val tps2 = turnsC / p2.sec
     val tps8 = turnsC / p8.sec

@@ -420,19 +420,19 @@ object SparkEntry {
     // both straight from the run the hit tables came from.
     val qdocs = r.mentions.map(_.doc)
     w(qdocs.flatMap(d => d.texts.indices.map(i =>
-        (d.docId, i, d.texts(i), d.tTypes.charAt(i).toString)))
-      .toDF("queryId", "qi", "text", "type"), "explain_qterms")
-    w(qdocs.map(d => (d.docId, d.town, d.village, d.road, d.roadNumValue,
-        d.tTypes.count(_ == 'X')))
-      .toDF("queryId", "town", "village", "road", "roadNumValue", "qXCount"),
-      "explain_qmeta")
+        (d.docId, i, d.texts(i), d.tTypes.charAt(i).toString, d.idfs(i))))
+      .toDF("queryId", "qi", "text", "type", "idf"), "explain_qterms")
+    w(qdocs.map(d => (d.docId, d.partKey, d.town, d.village, d.road,
+        d.roadNumValue, d.tTypes.count(_ == 'X')))
+      .toDF("queryId", "partKey", "town", "village", "road", "roadNumValue",
+        "qXCount"), "explain_qmeta")
     w(r.docsIdf.flatMap(d => d.texts.indices.map(i =>
         (d.docId, i, d.texts(i), d.tTypes.charAt(i).toString, d.idfs(i))))
       .toDF("docId", "di", "text", "type", "idf"), "explain_dterms")
-    w(r.docsIdf.map(d => (d.docId, d.town, d.village, d.road, d.roadNum,
-        d.roadNumValue, d.tTypes.indexOf('N')))
-      .toDF("docId", "town", "village", "road", "roadNum", "roadNumValue",
-        "roadNumIdx"), "explain_dmeta")
+    w(r.docsIdf.map(d => (d.docId, d.partKey, d.town, d.village, d.road,
+        d.roadNum, d.roadNumValue, d.tTypes.indexOf('N')))
+      .toDF("docId", "partKey", "town", "village", "road", "roadNum",
+        "roadNumValue", "roadNumIdx"), "explain_dmeta")
     r.unpersistAll()
 
     val (n, _, nDistricts) = scaleOf(dir)
@@ -506,6 +506,151 @@ object SparkEntry {
            FROM h JOIN m ON h.queryId = m.queryId)
          SELECT subj, pred, obj, score, partKey FROM t
          ORDER BY subj, pred, obj""",
+    // FULL link recompute (round 3): the entire linkTopK semantics —
+    // candidate generation (docs sharing ≥1 term text within the query's
+    // partKey; exact, the same argument as `Linker.candidatesOf`), per-term
+    // lookup resolution, BOTH sides' boosts, the weighted-cosine
+    // accumulation of `Scoring.score` (`SimilarityComputer.java:456-550`),
+    // the s>0 keep rule, and bounded top-5 with the pinned (sim desc,
+    // docId asc) tie order — recomputed end-to-end in DuckDB from the
+    // explain_* stage tables. This flips kg_links from rows-only to a hard
+    // independent-engine check: membership, ranks, AND similarities.
+    "kg_links" ->
+      s"""WITH q AS (SELECT * FROM ${sp("explain_qterms")}),
+         qm AS (SELECT * FROM ${sp("explain_qmeta")}),
+         d AS (SELECT * FROM ${sp("explain_dterms")}),
+         dm AS (SELECT * FROM ${sp("explain_dmeta")}),
+         cand AS (
+           SELECT DISTINCT q.queryId, d.docId
+           FROM q JOIN d ON d.text = q.text
+           JOIN qm ON qm.queryId = q.queryId
+           JOIN dm ON dm.docId = d.docId AND dm.partKey = qm.partKey),
+         last_match AS (
+           SELECT c.queryId, c.docId, q.qi, max(d.di) AS di
+           FROM cand c JOIN q ON q.queryId = c.queryId
+           JOIN d ON d.docId = c.docId AND d.text = q.text
+           GROUP BY c.queryId, c.docId, q.qi),
+         xmatch AS (
+           SELECT c.queryId, c.docId, q.qi, min(d.di) AS xi
+           FROM cand c JOIN q ON q.queryId = c.queryId AND q.type = 'X'
+           JOIN d ON d.docId = c.docId AND d.text = q.text AND d.type = 'X'
+           GROUP BY c.queryId, c.docId, q.qi),
+         xstats AS (
+           SELECT queryId, docId, count(*) AS cnt, min(xi) AS mstart,
+             max(xi) AS mend
+           FROM xmatch GROUP BY queryId, docId),
+         resolved AS (
+           SELECT c.queryId, c.docId, q.qi, q.type AS qtype, q.idf AS qidf,
+             COALESCE(lm.di,
+               CASE WHEN q.type = 'N' AND dm.roadNum IS NOT NULL
+                      AND dm.road IS NOT NULL AND qm.road IS NOT NULL
+                      AND dm.road = qm.road AND dm.roadNumIdx >= 0
+                    THEN dm.roadNumIdx END) AS di
+           FROM cand c
+           JOIN q ON q.queryId = c.queryId
+           JOIN qm ON qm.queryId = c.queryId
+           JOIN dm ON dm.docId = c.docId
+           LEFT JOIN last_match lm ON lm.queryId = c.queryId
+             AND lm.docId = c.docId AND lm.qi = q.qi),
+         terms AS (
+           SELECT r.queryId, r.docId,
+             (CASE WHEN r.qtype IN ('1','2','3') THEN 0.0
+                   WHEN r.qtype = '4' THEN 1.0 ELSE r.qidf END)
+             * (CASE r.qtype
+                 WHEN '1' THEN 4.0 WHEN '2' THEN 4.0 WHEN '3' THEN 4.0
+                 WHEN '4' THEN 0.25 WHEN 'X' THEN 1.0
+                 WHEN 'T' THEN
+                   CASE WHEN qm.town IS NOT NULL AND dm.town IS NOT NULL
+                        THEN 2.0 ELSE 0.25 END
+                 WHEN 'V' THEN
+                   CASE WHEN qm.village IS NOT NULL AND dm.village IS NOT NULL
+                          AND qm.town IS NOT NULL THEN
+                       CASE WHEN qm.town = dm.town THEN
+                              CASE WHEN qm.village = dm.village
+                                   THEN 4.0 ELSE 2.0 END
+                            WHEN dm.town IS NOT NULL THEN 2.0
+                            ELSE 0.25 END
+                     ELSE 0.25 END
+                 WHEN 'R' THEN
+                   CASE WHEN (qm.town IS NULL OR qm.village IS NULL)
+                          AND qm.road IS NOT NULL AND dm.road IS NOT NULL
+                        THEN 2.0 ELSE 1.0 END
+                 WHEN 'N' THEN
+                   CASE WHEN (qm.town IS NULL OR qm.village IS NULL)
+                          AND qm.roadNumValue > 0 AND dm.roadNumValue > 0
+                          AND qm.road IS NOT NULL AND qm.road = dm.road
+                        THEN 3.0 ELSE 1.0 END
+                 ELSE 1.0 END) AS qtfidf,
+             CASE WHEN r.di IS NULL THEN 0.0 ELSE
+               (CASE WHEN dt.type IN ('1','2','3') THEN 0.0
+                     WHEN dt.type = '4' THEN 1.0 ELSE dt.idf END)
+               * (CASE dt.type
+                   WHEN '1' THEN 4.0 WHEN '2' THEN 4.0 WHEN '3' THEN 4.0
+                   WHEN '4' THEN 0.25 WHEN 'X' THEN 1.0
+                   WHEN 'T' THEN
+                     CASE WHEN qm.town IS NOT NULL AND dm.town IS NOT NULL
+                          THEN 2.0 ELSE 0.25 END
+                   WHEN 'V' THEN
+                     CASE WHEN qm.village IS NOT NULL
+                            AND dm.village IS NOT NULL
+                            AND qm.town IS NOT NULL THEN
+                         CASE WHEN qm.town = dm.town THEN
+                                CASE WHEN qm.village = dm.village
+                                     THEN 4.0 ELSE 2.0 END
+                              WHEN dm.town IS NOT NULL THEN 0.5
+                              ELSE 0.25 END
+                       ELSE 0.25 END
+                   WHEN 'R' THEN
+                     CASE WHEN (qm.town IS NULL OR qm.village IS NULL)
+                            AND qm.road IS NOT NULL AND dm.road IS NOT NULL
+                          THEN 2.0 ELSE 1.0 END
+                   WHEN 'N' THEN
+                     CASE WHEN (qm.town IS NULL OR qm.village IS NULL)
+                            AND qm.roadNumValue > 0 AND dm.roadNumValue > 0
+                            AND qm.road IS NOT NULL AND dm.road IS NOT NULL
+                            AND qm.road = dm.road
+                          THEN CASE WHEN qm.roadNumValue = dm.roadNumValue
+                                    THEN 3.0
+                               ELSE (1.0 / sqrt(sqrt(
+                                 abs(qm.roadNumValue - dm.roadNumValue)
+                                 + 1.0))) * 2.0 END
+                          ELSE 1.0 END
+                   ELSE 1.0 END)
+               * (CASE WHEN dt.type = 'X' THEN
+                    CASE WHEN qm.qXCount > 0
+                         THEN sqrt(COALESCE(xs.cnt, 0) * 1.0 / qm.qXCount)
+                              * 0.5 + 0.5
+                         ELSE 1.0 END
+                  ELSE 1.0 END)
+               * (CASE WHEN dt.type = 'X' THEN
+                    CASE WHEN qm.qXCount >= 2 AND COALESCE(xs.cnt, 0) >= 2
+                         THEN sqrt(xs.cnt * 1.0 / (xs.mend - xs.mstart + 1))
+                              * 0.5 + 0.5
+                         ELSE 1.0 END
+                  ELSE 1.0 END)
+             END AS dtfidf
+           FROM resolved r
+           JOIN qm ON qm.queryId = r.queryId
+           JOIN dm ON dm.docId = r.docId
+           LEFT JOIN d dt ON dt.docId = r.docId AND dt.di = r.di
+           LEFT JOIN xstats xs ON xs.queryId = r.queryId
+             AND xs.docId = r.docId),
+         sims AS (
+           SELECT queryId, docId,
+             sum(qtfidf * qtfidf) AS sumQQ,
+             sum(qtfidf * dtfidf) AS sumQD,
+             sum(dtfidf * dtfidf) AS sumDD
+           FROM terms GROUP BY queryId, docId),
+         topk AS (
+           SELECT queryId, docId, sumQD / sqrt(sumQQ * sumDD) AS sim
+           FROM sims WHERE sumQQ > 0 AND sumDD > 0 AND sumQD > 0)
+         SELECT queryId, docId,
+           round(sim, 9) AS similarity,
+           CAST(row_number() OVER (PARTITION BY queryId
+             ORDER BY round(sim, 6) DESC, docId) AS INT) AS rank
+         FROM topk
+         QUALIFY rank <= 5
+         ORDER BY queryId, rank""",
     // scoreExplain (`link/Scoring.scala` — exact port of
     // `SimilarityComputer.java:500-541`) recomputed in DuckDB over the
     // explain_* stage tables: per query term, lookup = LAST equal-text doc

@@ -375,16 +375,57 @@ object Linker {
     val bq = spark.sparkContext.broadcast(byPart)
     val partial = docs.mapPartitions { it =>
       val heaps = new scala.collection.mutable.HashMap[Long, TopK]()
-      val qsides = new scala.collection.mutable.HashMap[String, Array[Scoring.QuerySide]]()
+      // Per-partKey compiled queries + inverted index over QUERY term hashes
+      // (the mirror of scoreCellBlocked's doc postings): each streamed doc
+      // only scores the queries it shares ≥1 term text with — exact, see
+      // `candidatesOf`'s argument.
+      final case class QIdx(qs: Array[Scoring.QuerySide],
+          postings: scala.collection.mutable.LongMap[IntVec])
+      val byPk = new scala.collection.mutable.HashMap[String, QIdx]()
       val qmap = bq.value
+      var stamp = 0
+      var stamps = new Array[Int](64)
       it.foreach { d =>
-        val qs = qsides.getOrElseUpdate(d.partKey,
-          qmap.getOrElse(d.partKey, Array.empty).map(new Scoring.QuerySide(_)))
-        if (qs.nonEmpty) {
+        val qidx = byPk.getOrElseUpdate(d.partKey, {
+          val qs = qmap.getOrElse(d.partKey, Array.empty)
+            .map(new Scoring.QuerySide(_))
+          val postings = new scala.collection.mutable.LongMap[IntVec](qs.length * 8)
+          var qi = 0
+          while (qi < qs.length) {
+            val hs = qs(qi).hashes
+            var i = 0
+            while (i < hs.length) {
+              postings.getOrElseUpdate(hs(i).toLong, new IntVec).add(qi)
+              i += 1
+            }
+            qi += 1
+          }
+          QIdx(qs, postings)
+        })
+        if (qidx.qs.nonEmpty) {
+          if (stamps.length < qidx.qs.length)
+            stamps = new Array[Int](qidx.qs.length)
+          stamp += 1
           val ds = new Scoring.Side(d)
-          qs.foreach { q =>
-            val s = Scoring.score(q, ds)
-            if (s > 0) heaps.getOrElseUpdate(q.docId, new TopK(topN)).offer(d.docId, s)
+          val hs = ds.hashes
+          var i = 0
+          while (i < hs.length) {
+            val p = qidx.postings.getOrNull(hs(i).toLong)
+            if (p != null) {
+              var j = 0
+              while (j < p.n) {
+                val qi = p.a(j)
+                if (stamps(qi) != stamp) {
+                  stamps(qi) = stamp
+                  val q = qidx.qs(qi)
+                  val s = Scoring.score(q, ds)
+                  if (s > 0)
+                    heaps.getOrElseUpdate(q.docId, new TopK(topN)).offer(d.docId, s)
+                }
+                j += 1
+              }
+            }
+            i += 1
           }
         }
       }
@@ -423,29 +464,88 @@ object Linker {
     }
   }
 
-  private def topKForQuery(q: DocVec, dsides: Array[Scoring.Side],
-      topN: Int): Iterator[LinkHit] = {
-    val qside = new Scoring.QuerySide(q)
-    val heap = new TopK(topN)
-    var i = 0
-    while (i < dsides.length) {
-      val s = Scoring.score(qside, dsides(i))
-      if (s > 0) heap.offer(dsides(i).docId, s)
-      i += 1
+  /** Minimal growable int array (postings lists; ArrayBuffer[Int] boxes). */
+  private final class IntVec {
+    var a = new Array[Int](4); var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) {
+        val b = new Array[Int](n * 2); System.arraycopy(a, 0, b, 0, n); a = b
+      }
+      a(n) = v; n += 1
     }
-    heap.toHits(q.docId)
   }
 
-  /** Cache-blocked cell scoring: iterate DOC CHUNKS (sized to stay cache-
-    * resident) in the outer loop and all of the cell's queries in the inner
-    * loop — each doc byte is pulled from DRAM once per chunk instead of once
-    * per query. At 32 cores the naive query-outer order saturated memory
-    * bandwidth (~2x CPU inflation vs 8 cores on >10k-doc cells). */
+  /** Inverted-index postings for a cell's doc sides: term-text hash → doc
+    * indices (ascending; duplicates possible when a doc repeats a hash —
+    * the BitSet candidate mark dedups). */
+  private def buildPostings(dsides: Array[Scoring.Side])
+      : scala.collection.mutable.LongMap[IntVec] = {
+    val postings = new scala.collection.mutable.LongMap[IntVec](dsides.length * 8)
+    var di = 0
+    while (di < dsides.length) {
+      val hs = dsides(di).hashes
+      var i = 0
+      while (i < hs.length) {
+        postings.getOrElseUpdate(hs(i).toLong, new IntVec).add(di)
+        i += 1
+      }
+      di += 1
+    }
+    postings
+  }
+
+  /** Candidate docs for one query: union of its term hashes' postings, as a
+    * BitSet over doc indices. EXACT, not approximate: a doc sharing NO term
+    * text with the query scores 0 (every query-term lookup misses; the
+    * RoadNum same-road fallback also requires equal road TEXT, which is
+    * itself an R term on both sides — `DocAnalyser.analyse` only emits
+    * non-empty texts) and similarity-0 hits are dropped by the kernel
+    * contract (`Query.addSimiDoc` `Query.java:62`), so skipping non-candidates
+    * cannot change the result. Hash collisions only ADD candidates (scoring
+    * verifies text equality). Term vectors carry no Province/City/District
+    * terms (partKey handles those), so no term is exempt. */
+  private def candidatesOf(q: Scoring.QuerySide,
+      postings: scala.collection.mutable.LongMap[IntVec],
+      nDocs: Int): java.util.BitSet = {
+    val cand = new java.util.BitSet(nDocs)
+    val hs = q.hashes
+    var i = 0
+    while (i < hs.length) {
+      val p = postings.getOrNull(hs(i).toLong)
+      if (p != null) {
+        var j = 0
+        while (j < p.n) { cand.set(p.a(j)); j += 1 }
+      }
+      i += 1
+    }
+    cand
+  }
+
+  /** Cache-blocked cell scoring with inverted-index candidate pruning:
+    *  - postings (term hash → doc indices) are built once per cell; each
+    *    query only scores docs sharing ≥1 term text — exact (see
+    *    `candidatesOf`), and on address-shaped data it skips the large
+    *    majority of pairs (the O(|q|·|d|) full scan was the kernel's pair
+    *    bound; the candidate scan is output-sensitive);
+    *  - DOC CHUNKS (sized to stay cache-resident) remain the outer loop with
+    *    all queries inner — each doc byte is pulled from DRAM once per chunk
+    *    instead of once per query. At 32 cores the naive query-outer order
+    *    saturated memory bandwidth (~2x CPU inflation vs 8 cores on
+    *    >10k-doc cells). Candidate iteration (BitSet.nextSetBit) preserves
+    *    the exact ascending doc order of the full scan, so heap contents —
+    *    already order-independent via pinned ties — are bit-identical. */
   private val DocChunk = 1024
   private def scoreCellBlocked(qs: Iterator[DocVec],
       dsides: Array[Scoring.Side], topN: Int): Iterator[LinkHit] = {
     val qsides = qs.map(new Scoring.QuerySide(_)).toArray
     if (qsides.isEmpty) return Iterator.empty
+    val postings = buildPostings(dsides)
+    val cands = new Array[java.util.BitSet](qsides.length)
+    var i = 0
+    while (i < qsides.length) {
+      cands(i) = candidatesOf(qsides(i), postings, dsides.length)
+      i += 1
+    }
     val heaps = Array.fill(qsides.length)(new TopK(topN))
     var c = 0
     while (c < dsides.length) {
@@ -454,11 +554,11 @@ object Linker {
       while (qi < qsides.length) {
         val q = qsides(qi)
         val heap = heaps(qi)
-        var di = c
-        while (di < end) {
+        var di = cands(qi).nextSetBit(c)
+        while (di >= 0 && di < end) {
           val s = Scoring.score(q, dsides(di))
           if (s > 0) heap.offer(dsides(di).docId, s)
-          di += 1
+          di = cands(qi).nextSetBit(di + 1)
         }
         qi += 1
       }
@@ -516,21 +616,39 @@ object Linker {
     * below-threshold offer, shift-insert otherwise — no boxing, no resort
     * (`Query.addSimiDoc` replace-min semantics `Query.java:61-78`, ordering
     * pinned). */
+  /** Bounded top-k keeper. PUBLIC ORDERING CONTRACT (round 3): candidates
+    * are ranked by similarity QUANTIZED to 1e-6 (half-up) descending, then
+    * docId ascending. Rationale: near-identical docs produce sims that agree
+    * to ~1e-9 but differ at ~1e-15, where the order is pure floating-point
+    * accumulation noise — the reference's full-double comparator
+    * (`SimilarityComputer.java` result sort) is an implementation artifact no
+    * independent engine can reproduce (JVM vs DuckDB sums differ at 1e-16),
+    * while the quantized order is deterministic AND cross-engine verifiable:
+    * the kg_links DuckDB oracle re-derives the exact top-k — membership,
+    * ranks, and sims — from the stage tables. Within a 1e-6 band the
+    * reference makes no meaningful ordering guarantee. Emitted sims stay
+    * full precision. */
   final class TopK(k: Int) {
     private val sims = new Array[Double](k)
+    private val keys = new Array[Long](k)
     private val ids = new Array[Long](k)
     private var size = 0
+    // Half-up at 1e-6 — matches SQL round(sim, 6) for non-negative sims.
+    @inline private def qz(sim: Double): Long =
+      math.floor(sim * 1e6 + 0.5).toLong
     def offer(docId: Long, sim: Double): Unit = {
+      val key = qz(sim)
       if (size == k) {
-        val ws = sims(size - 1); val wi = ids(size - 1)
-        if (sim < ws || (sim == ws && docId >= wi)) return
+        val wk = keys(size - 1); val wi = ids(size - 1)
+        if (key < wk || (key == wk && docId >= wi)) return
         size -= 1
       }
       var i = size
-      while (i > 0 && (sims(i - 1) < sim || (sims(i - 1) == sim && ids(i - 1) > docId))) {
-        sims(i) = sims(i - 1); ids(i) = ids(i - 1); i -= 1
+      while (i > 0 && (keys(i - 1) < key || (keys(i - 1) == key && ids(i - 1) > docId))) {
+        sims(i) = sims(i - 1); keys(i) = keys(i - 1); ids(i) = ids(i - 1)
+        i -= 1
       }
-      sims(i) = sim; ids(i) = docId
+      sims(i) = sim; keys(i) = key; ids(i) = docId
       size += 1
     }
     def toHits(queryId: Long): Iterator[LinkHit] = {

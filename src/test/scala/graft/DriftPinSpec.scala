@@ -25,7 +25,9 @@ class DriftPinSpec extends AnyFunSuite {
   }
 
   test("kg_links content hash is pinned at sf0.001") {
-    assert(hashOf("kg_links") == "702530e0138927216cde95605c6a3933")
+    // Re-pinned in round 3: TopK's public tie-break moved to quantized-1e-6
+    // sim + docId asc (see Linker.TopK), reordering near-tie ranks.
+    assert(hashOf("kg_links") == "88b87962f578cf28daa21f0248660ff0")
   }
 
   test("kg_mentions content hash is pinned at sf0.001") {

@@ -73,7 +73,9 @@ class KgPipelineSpec extends AnyFunSuite {
     docs.filter(_.partKey == q.partKey)
       .map(d => (d.docId, Scoring.score(q, d)))
       .filter(_._2 > 0)
-      .sortBy { case (id, s) => (-s, id) }
+      // Linker.TopK's public ordering contract: sim quantized to 1e-6
+      // (half-up) desc, then docId asc.
+      .sortBy { case (id, s) => (-math.floor(s * 1e6 + 0.5).toLong, id) }
       .take(TopN)
 
   // --- the test ----------------------------------------------------------
