@@ -34,6 +34,25 @@ class DriftPinSpec extends AnyFunSuite {
     assert(hashOf("kg_mentions") == "fd7a50e5c9b3f15de55487c5fae83f86")
   }
 
+  // The remaining rows-only driver queries are all deterministic by
+  // construction (seeded hyperplanes/centroids, stub codec), so they get
+  // the same silent-drift protection: any semantic change must re-pin here.
+  test("q16_ann_lsh content hash is pinned at sf0.001") {
+    assert(hashOf("q16_ann_lsh") == "913a088ede732564dda9f326c519edf5")
+  }
+
+  test("q20_media_features content hash is pinned at sf0.001") {
+    assert(hashOf("q20_media_features") == "ed866b3fd7a839ee2d752e188fe9a583")
+  }
+
+  test("q22_embed_neardup_lsh content hash is pinned at sf0.001") {
+    assert(hashOf("q22_embed_neardup_lsh") == "50955f3bba590b9be138edc5ce27d7f6")
+  }
+
+  test("q23_ann_ivf content hash is pinned at sf0.001") {
+    assert(hashOf("q23_ann_ivf") == "d314385e12acc54b26759346f076619f")
+  }
+
   test("kg queries leave no persistent RDDs behind (run-scoped caches)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
