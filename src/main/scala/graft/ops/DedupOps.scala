@@ -225,4 +225,33 @@ object DedupOps {
       .where(col("cos") >= threshold)
       .distinct() // a pair can collide in several tables; cos is identical
   }
+
+  /** Streaming exact dedup — the continuous-ingest sibling of `exact`/
+    * `Linker.dedupCorpus`, Spark-first: `dropDuplicates` on a streaming
+    * Dataset is the built-in stateful dedup (per-key state in the state
+    * store, sharded by key across executors, RocksDB-backed at scale);
+    * every later arrival of an already-seen text is dropped.
+    *
+    * Semantics: FIRST-ARRIVAL-WINS at micro-batch granularity (an unbounded
+    * stream cannot emit min-id without retraction; within one micro-batch
+    * the surviving duplicate is arrival-order-dependent). Replaying a
+    * corpus in id order reproduces the batch min-id result exactly —
+    * pinned by StreamingSpec against `Linker.dedupCorpus`.
+    *
+    * State is keyed on the FULL text for exactness: a 64-bit hash key
+    * collides with near-certainty at the 10^10-doc design point (birthday
+    * bound), silently dropping distinct documents. For bounded state on
+    * unbounded streams use `exactStreamBounded`. */
+  def exactStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.dropDuplicates(textCol)
+
+  /** Watermark-bounded streaming dedup: state for a text is dropped once
+    * the watermark passes its event time, capping state size for unbounded
+    * streams — dedup is then exact only within the lateness horizon (the
+    * standard trade for infinite ingest; re-dedup exactly in a batch
+    * compaction pass downstream, which `exact` provides). */
+  def exactStreamBounded(docs: DataFrame, tsCol: String, lateness: String,
+      textCol: String = "text"): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(textCol)
 }

@@ -173,4 +173,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.table("w_out").count() > 0)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: cross-batch state == batch min-id dedup under id-ordered replay") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val bdict = s.sparkContext.broadcast(d0)
+    val base = SynthCorpus.corpus(d0.regions, 50, 4, seed = 55) // (id, text)
+    // Batch 2 re-sends 30 of batch 1's texts under new ids (cross-batch
+    // duplicates — the state-store case) plus 10 genuinely new texts.
+    val dupes = base.take(30).map { case (_, t) => t }.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }
+    val fresh = SynthCorpus.corpus(d0.regions, 60, 4, seed = 55).drop(50)
+      .map { case (id, t) => (2000L + id, t + s"新${id}号") } // guaranteed-unique texts
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.DedupOps.exactStream(input.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(base)
+      q.processAllAvailable()
+      input.addData(dupes ++ fresh)
+      q.processAllAvailable()
+      val streamed = s.table("dedup_out").select("id").as[Long].collect().toSet
+      // Batch reference on the full union: min id per text. Ids arrive in
+      // ascending order across batches, so first-arrival == min-id.
+      val all = s.createDataset(base ++ dupes ++ fresh)
+      val batch = graft.link.Linker.dedupCorpus(s, all).collect()
+        .map(_._1).toSet
+      assert(streamed == batch)
+      assert((dupes.map(_._1).toSet intersect streamed).isEmpty,
+        "cross-batch duplicates must be dropped by state")
+      assert(fresh.map(_._1).toSet subsetOf streamed)
+    } finally q.stop()
+  }
 }
