@@ -254,4 +254,42 @@ object DedupOps {
       textCol: String = "text"): DataFrame =
     docs.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(textCol)
+
+  /** Streaming embedding near-dup against a STATIC reference corpus — the
+    * continuous-ingest "is this arriving item a near-duplicate of anything
+    * we already hold?" check, as a stream-static bucket join (stateless: no
+    * stream-stream state, the Spark-first shape). Each arriving vector
+    * computes its multi-table LSH bucket keys in codegen
+    * (`HyperplaneBits`), equi-joins the identically-keyed static corpus,
+    * and verifies the exact cosine — so precision is 1 relative to the
+    * exact pairing and recall is the multi-table LSH recall (same
+    * amplification math as `embeddingNearDup`; an IDENTICAL duplicate
+    * always lands in the same buckets, so exact-dup recall is 1). At scale
+    * the static side is a pre-bucketed table partitioned by `bucket`, so
+    * the join co-locates without shuffling the stream.
+    *
+    * A pair can collide in several tables; those duplicates arise only
+    * WITHIN one micro-batch (a stream row is processed once), so
+    * `dropDuplicatesWithinWatermark` removes them with state bounded by the
+    * lateness horizon. */
+  def embeddingNearDupStream(stream: DataFrame, corpus: DataFrame,
+      threshold: Double, dim: Int, bits: Int, tables: Int,
+      tsCol: String = "ts", lateness: String = "10 minutes",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = AnnOps.hyperplanes(dim, bits * tables)
+    def keys(vc: Column): Seq[Column] = (0 until tables).map { t =>
+      AnnOps.lshBucket(vc, planes.slice(t * bits, (t + 1) * bits)) +
+        lit(t.toLong << bits)
+    }
+    val s = stream.select(col(idCol).as("s_id"), col(tsCol).as("s_ts"),
+        col(vecCol).as("s_v"), explode(array(keys(col(vecCol)): _*)).as("bucket"))
+      .withWatermark("s_ts", lateness)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
+      explode(array(keys(col(vecCol)): _*)).as("bucket"))
+    s.join(c, "bucket")
+      .select(col("s_id"), col("s_ts"), col("c_id"),
+        round(AnnOps.cosine(col("s_v"), col("c_v")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .dropDuplicatesWithinWatermark("s_id", "c_id")
+  }
 }

@@ -7,7 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.data.SynthCorpus
 import graft.kg.KgPipeline
 import graft.model._
+import graft.ops.AnnOps
 import graft.pipeline.{KgJob, StageRunner}
+
+/** Top-level so MemoryStream/Dataset encoders derive cleanly. */
+final case class StreamVec(vec_id: Long, ts: java.sql.Timestamp,
+    embedding: Array[Float])
 
 /** Checkpointed-stage runner: resume skips completed stages, metrics carry
   * per-partition lineage, and a resumed run's output is identical to a clean
@@ -208,6 +213,64 @@ class StreamingSpec extends AnyFunSuite {
       assert((dupes.map(_._1).toSet intersect streamed).isEmpty,
         "cross-batch duplicates must be dropped by state")
       assert(fresh.map(_._1).toSet subsetOf streamed)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup vs static corpus == batch LSH join; exact dups always found") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val corpusRows = (0L until 40L).map(i => (i, vec(i.toInt)))
+    val corpus = s.createDataset(corpusRows).toDF("vec_id", "embedding")
+
+    import org.apache.spark.sql.functions._
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    // 10 exact duplicates of corpus vectors (recall 1 by construction:
+    // identical vectors share every bucket) + 10 fresh random vectors.
+    val streamRows = (0L until 10L).map(i => StreamVec(100 + i, t0, vec(i.toInt))) ++
+      (0L until 10L).map(i => StreamVec(200 + i, t0, vec(9000 + i.toInt)))
+
+    val input = MemoryStream[StreamVec]
+    val q = graft.ops.DedupOps.embeddingNearDupStream(
+        input.toDF(), corpus, threshold = 0.9, dim = dim, bits = 4, tables = 4)
+      .writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").start()
+    try {
+      input.addData(streamRows.take(12))
+      q.processAllAvailable()
+      input.addData(streamRows.drop(12))
+      q.processAllAvailable()
+      val streamed = s.table("nd_out").select("s_id", "c_id").as[(Long, Long)]
+        .collect().toSet
+
+      // Batch reference: identical keying + exact-cosine verify + distinct.
+      val batchStream = s.createDataset(
+        streamRows.map(r => (r.vec_id, r.embedding))).toDF("vec_id", "embedding")
+      val planes = AnnOps.hyperplanes(dim, 4 * 4)
+      def keyed(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.select(col("vec_id").as(a), col("embedding").as(b),
+          explode(array((0 until 4).map(t =>
+            AnnOps.lshBucket(col("embedding"), planes.slice(t * 4, (t + 1) * 4)) +
+              lit(t.toLong << 4)): _*)).as("bucket"))
+      val batch = keyed(batchStream, "s_id", "s_v")
+        .join(keyed(corpus, "c_id", "c_v"), "bucket")
+        .select(col("s_id"), col("c_id"),
+          round(AnnOps.cosine(col("s_v"), col("c_v")), 4).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select("s_id", "c_id").distinct()
+        .as[(Long, Long)].collect().toSet
+
+      assert(streamed == batch)
+      // Every exact duplicate must be found (cos = 1, same buckets).
+      val exactPairs = (0L until 10L).map(i => (100 + i, i)).toSet
+      assert(exactPairs subsetOf streamed)
     } finally q.stop()
   }
 }
