@@ -122,6 +122,48 @@ class VtFormatSpec extends AnyFunSuite {
   }
 }
 
+/** Distributed `.vt` vector-dump IO: round-trip fidelity + partition
+  * pruning on the partKey directory column. */
+class VtFilesSpec extends AnyFunSuite {
+  import GoldenFixtures.{dict => d0}
+  private lazy val spark = SparkTestBase.spark
+
+  test(".vt directory round-trips docs (idfs zeroed, as the reference loader)") {
+    val s = spark
+    import graft.link.Linker
+    import graft.sources.VtFiles
+    val corpus = SynthCorpus.corpus(d0.regions, 120, 4, seed = 61)
+    val bdict = s.sparkContext.broadcast(d0)
+    val docs = Linker.buildDocs(s, s.createDataset(corpus)(
+      org.apache.spark.sql.Encoders.product[(Long, String)]), bdict)
+    val dir = Files.createTempDirectory("graft-vt").toString
+
+    VtFiles.write(docs, dir)
+    val back = VtFiles.read(s, dir)
+
+    def key(d: DocVec) = (d.docId, d.partKey, d.tTypes, d.texts.toSeq,
+      d.town, d.village, d.road, d.roadNum, d.roadNumValue)
+    val orig = docs.collect().map(key).toSet
+    val rt = back.collect().map(key).toSet
+    assert(rt == orig)
+    assert(back.collect().forall(_.idfs.forall(_ == 0.0)),
+      ".vt carries no idfs; loader must zero them")
+
+    // Partition pruning: the partKeys argument filters BEFORE the opaque
+    // deserializing mapPartitions, so it must reach the scan as a NON-EMPTY
+    // PartitionFilter (same contract as the parquet docs table). Checked
+    // non-vacuously: the bracket must actually contain the partKey
+    // predicate, and the pruned read returns only that key's docs.
+    val somePk = docs.head().partKey
+    val prunedRead = VtFiles.read(s, dir, Seq(somePk))
+    val plan = prunedRead.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*partKey".r.findFirstIn(plan).isDefined,
+      s"partKey filter did not land in PartitionFilters:\n$plan")
+    val prunedDocs = prunedRead.collect()
+    assert(prunedDocs.nonEmpty && prunedDocs.forall(_.partKey == somePk))
+  }
+}
+
 /** Structured Streaming: the stateless mention stage produces the same
   * results as batch; the sessionizer closes conversations on timeout. */
 class StreamingSpec extends AnyFunSuite {
