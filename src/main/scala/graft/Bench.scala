@@ -15,7 +15,7 @@ import graft.link.Dict
   *
   * The scaling block evidences the north rule's two-cluster-size criterion
   * in-sandbox: the SAME transcript→KG job on the SAME parquet input at
-  * local[2] / local[8] / local[32] (best-of-2 per point);
+  * local[2] / local[8] / local[32] (best-of-3 per point, symmetric reps);
   * efficiency = tps(4N) / (4 * tps(N)). Also written to BENCH.md.
   */
 object Bench {
@@ -124,18 +124,25 @@ object Bench {
     //    reproduce); min is the least-biased cheap estimator of the job's
     //    true cost, and pass 1 doubles as JIT/codegen warmup.
     val spark = session(cpus)
-    def timeQueries(): Seq[(String, Double)] =
+    // A failed pass must NOT contribute its time-to-failure to min() — that
+    // would report a crash as a blazingly fast query. Failures yield None;
+    // a query with zero successful passes reports the sentinel -1.0, which
+    // is impossible as a real time and unmissable in the JSON.
+    def timeQueries(): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     val passes = Seq(timeQueries(), timeQueries())
     val results: Seq[(String, Double)] =
       passes.head.map(_._1).map { name =>
-        name -> passes.map(_.toMap.apply(name)).min
+        val ts = passes.flatMap(_.toMap.apply(name))
+        name -> (if (ts.nonEmpty) ts.min else -1.0)
       }
     spark.stop()
 
@@ -187,7 +194,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failed queries (-1.0 sentinel) stay visible per-query but must not
+    // subtract from the suite total.
+    val total = results.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val scaling =
       f"""{"cores_n":$core2,"tps_n":$tps2%.1f,"sec_n":${p2.sec}%.2f,""" +

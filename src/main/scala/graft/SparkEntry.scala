@@ -52,10 +52,24 @@ object SparkEntry {
     * holds can be released BEFORE the caller consumes the DataFrame (round-2
     * verdict: 30 leaked persistent RDDs after one Verify pass). The extra
     * write is one small (top-k-bounded) table per query; at 100 TB this is
-    * exactly the StageRunner materialize-stage pattern. */
+    * exactly the StageRunner materialize-stage pattern. `coalesce(1)`
+    * because a multi-file parquet scan re-packs files size-descending,
+    * which would silently scramble the query's ORDER BY on read-back; all
+    * stashed outputs are top-k-bounded, so one file is the right layout.
+    * Stash dirs live under one per-JVM root deleted on exit. */
+  private lazy val stashRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stash")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
   private def stash(s: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
-    df.write.mode("overwrite").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory(stashRoot, name).toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
   }
 

@@ -168,6 +168,7 @@ class KgPipelineSpec extends AnyFunSuite {
       s"missing=${(expTriples.map(key) -- gotTriples.map(key)).take(5)}")
     val expByKey = expTriples.map(t => key(t) -> t.score).toMap
     gotTriples.foreach(t => assert(math.abs(t.score - expByKey(key(t))) < 1e-12))
+    run.unpersistAll() // shared test session: honor the KgRun cache contract
   }
 
   test("linkTopK is bit-identical for any bucket/blob knobs") {
