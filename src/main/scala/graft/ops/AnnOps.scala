@@ -55,10 +55,10 @@ object AnnOps {
 
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
     * seeded — identical on driver and executors. */
-  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] =
+    // Canonical generator lives with the expressions so the SQL surface
+    // (`hyperplane_bits(v, dim, bits, seed)`) buckets identically.
+    org.apache.spark.sql.graft.LshKernel.hyperplanes(dim, bits, seed)
 
   /** Sign-bit LSH bucket key for an embedding column: bit b set iff
     * dot(vec, plane_b) > 0 — the native codegen'd Catalyst expression

@@ -127,5 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+      (children: Seq[Expression]) => HyperplaneBits.sqlBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_probes"),
+      new ExpressionInfo(classOf[HyperplaneProbes].getName, "hyperplane_probes"),
+      (children: Seq[Expression]) => HyperplaneProbes.sqlBuilder(children)))
   }
 }

@@ -14,6 +14,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatT
   * bits, i.e. smallest |dot| — Lv et al., VLDB 2007 "Multi-Probe LSH").
   * Static so generated code can call it directly. */
 object LshKernel {
+  /** Canonical deterministic hyperplane generator (seeded Gaussian) — the
+    * single source of truth shared by the Column API (`AnnOps.hyperplanes`
+    * delegates here) and the SQL builders, so `hyperplane_bits(v, dim,
+    * bits, seed)` in SQL buckets identically to the Scala path. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** dots(b) = <vec, planes(b)> over the common prefix. */
   def dots(vec: ArrayData, planes: Array[Array[Double]]): Array[Double] = {
     val out = new Array[Double](planes.length)
@@ -107,6 +116,29 @@ case class HyperplaneBits(child: Expression, planes: Array[Array[Double]])
 object HyperplaneBits {
   def apply(vec: Column, planes: Array[Array[Double]]): Column =
     ExpressionUtils.column(HyperplaneBits(ExpressionUtils.expression(vec), planes))
+
+  /** SQL builder: `hyperplane_bits(vec, dim, bits[, seed])`. The plane
+    * parameters must be literals (the planes are materialized at plan time,
+    * exactly like the Column API's literal plane array). */
+  private[graft] def sqlBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3 || children.size == 4,
+      s"hyperplane_bits(vec, dim, bits[, seed]) takes 3-4 args, got ${children.size}")
+    val dim = LshSql.intLit(children(1), "dim")
+    val bits = LshSql.intLit(children(2), "bits")
+    val seed = if (children.size > 3) LshSql.intLit(children(3), "seed").toLong else 42L
+    HyperplaneBits(children(0), LshKernel.hyperplanes(dim, bits, seed))
+  }
+}
+
+/** Literal extraction shared by the LSH SQL builders. */
+private[graft] object LshSql {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
+  def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
+  }
 }
 
 /** Confidence-ordered multi-probe bucket list (base bucket + `nProbes-1`
@@ -144,4 +176,15 @@ object HyperplaneProbes {
   def apply(vec: Column, planes: Array[Array[Double]], nProbes: Int): Column =
     ExpressionUtils.column(
       HyperplaneProbes(ExpressionUtils.expression(vec), planes, nProbes))
+
+  /** SQL builder: `hyperplane_probes(vec, dim, bits, nprobes[, seed])`. */
+  private[graft] def sqlBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 4 || children.size == 5,
+      s"hyperplane_probes(vec, dim, bits, nprobes[, seed]) takes 4-5 args, got ${children.size}")
+    val dim = LshSql.intLit(children(1), "dim")
+    val bits = LshSql.intLit(children(2), "bits")
+    val nProbes = LshSql.intLit(children(3), "nprobes")
+    val seed = if (children.size > 4) LshSql.intLit(children(4), "seed").toLong else 42L
+    HyperplaneProbes(children(0), LshKernel.hyperplanes(dim, bits, seed), nProbes)
+  }
 }

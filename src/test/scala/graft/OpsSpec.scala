@@ -186,6 +186,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!viaSql.isNaN)
   }
 
+  test("SQL hyperplane_bits/probes == Column API (extension-injected session)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("hp_vecs")
+    // Column API reference: same (dim, bits, seed) → same planes.
+    val planes = AnnOps.hyperplanes(16, 4, seed = 42L)
+    val colApi = vecs.select(col("vec_id"),
+        AnnOps.lshBucket(col("embedding"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // SQL path resolves via GraftExtensions on the shared session.
+    val viaSql = s.sql(
+      """SELECT vec_id, hyperplane_bits(embedding, 16, 4, 42) AS b
+         FROM hp_vecs""").as[(Long, Long)].collect().toMap
+    assert(viaSql == colApi)
+    // Probes: first element is the base bucket; nprobes elements total.
+    val probes = s.sql(
+      """SELECT vec_id, hyperplane_probes(embedding, 16, 4, 3, 42) AS p
+         FROM hp_vecs""").as[(Long, Seq[Long])].collect()
+    assert(probes.forall { case (id, p) => p.length == 3 && p.head == colApi(id) })
+    // Non-literal plane params must be rejected, not silently mis-planed.
+    val err = intercept[Exception] {
+      s.sql("SELECT hyperplane_bits(embedding, CAST(vec_id AS INT), 4) FROM hp_vecs")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("ivf ann: recall floor at 1/8 scan fraction; results are exact cosines") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 10)
