@@ -45,6 +45,11 @@ object MultimodalOps {
   trait Codec extends Serializable {
     def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float]
     def sampleFrames(content: Array[Byte], everyN: Int): Array[Array[Byte]]
+    /** Re-encode the payload at (w, h). The stub scales the byte budget
+      * with the pixel ratio (a real codec decodes, scales, re-encodes —
+      * same signature, same batch shape). */
+    def resize(content: Array[Byte], fromW: Int, fromH: Int,
+        toW: Int, toH: Int): Array[Byte]
   }
 
   object StubCodec extends Codec {
@@ -65,6 +70,15 @@ object MultimodalOps {
       (0 until n by everyN).map { f =>
         content.slice(f * frameSize, math.min((f + 1) * frameSize, content.length))
       }.toArray
+    }
+    def resize(content: Array[Byte], fromW: Int, fromH: Int,
+        toW: Int, toH: Int): Array[Byte] = {
+      // Deterministic fake: sample the payload at the pixel-area ratio.
+      val ratio = (toW.toLong * toH).toDouble / math.max(fromW.toLong * fromH, 1L)
+      val outLen = math.max((content.length * ratio).toInt, 1)
+      Array.tabulate(outLen) { i =>
+        content(((i.toLong * content.length) / outLen).toInt)
+      }
     }
   }
 
@@ -111,6 +125,34 @@ object MultimodalOps {
           }
           MediaFeatures(row.media_id, row.modality, feat, frames.length,
             (System.nanoTime() - t0) / 1000000L)
+        }
+      }
+    }
+  }
+
+  /** Batched resize of visual media to a bounding box (aspect preserved,
+    * never upscaled); audio rows pass through untouched. Same narrow
+    * batched-per-partition shape as `extractFeatures` — shuffle-free, so at
+    * 100 TB it scales with input splits and the payload bytes stream
+    * through each task exactly once. */
+  def resizeMedia(spark: SparkSession, media: Dataset[MediaRow], codec: Codec,
+      maxW: Int, maxH: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          if (row.modality == "audio" || row.width <= 0 || row.height <= 0 ||
+              (row.width <= maxW && row.height <= maxH)) row
+          else {
+            val scale = math.min(maxW.toDouble / row.width,
+              maxH.toDouble / row.height)
+            val toW = math.max((row.width * scale).toInt, 1)
+            val toH = math.max((row.height * scale).toInt, 1)
+            val resized =
+              codec.resize(row.content, row.width, row.height, toW, toH)
+            row.copy(content = resized, content_len = resized.length,
+              width = toW, height = toH)
+          }
         }
       }
     }

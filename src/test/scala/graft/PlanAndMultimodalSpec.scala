@@ -139,4 +139,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(video.nonEmpty && video.forall(_.n_frames_sampled >= 1))
     assert(f1.filter(_.modality == "image").forall(_.n_frames_sampled == 1))
   }
+
+  test("resize: bounding box respected, aspect preserved, audio passthrough, deterministic") {
+    val media = MultimodalOps.synthesize(spark, 40, seed = 9)
+    val before = media.collect().map(m => m.media_id -> m).toMap
+    val r1 = MultimodalOps.resizeMedia(spark, media, MultimodalOps.StubCodec,
+      maxW = 32, maxH = 32, batchSize = 7).collect().sortBy(_.media_id)
+    val r2 = MultimodalOps.resizeMedia(spark, media.repartition(5),
+      MultimodalOps.StubCodec, maxW = 32, maxH = 32, batchSize = 3)
+      .collect().sortBy(_.media_id)
+    r1.zip(r2).foreach { case (x, y) =>
+      assert(x.content.sameElements(y.content),
+        s"partitioning/batch size changed resize for ${x.media_id}")
+    }
+    r1.foreach { m =>
+      val o = before(m.media_id)
+      if (m.modality == "audio") assert(m.content.sameElements(o.content))
+      else {
+        assert(m.width <= 32 && m.height <= 32)
+        assert(m.content_len == m.content.length)
+        // Aspect preserved to integer truncation; never upscaled.
+        assert(m.width <= o.width && m.height <= o.height)
+        if (o.width > 32 || o.height > 32) {
+          val scale = math.min(32.0 / o.width, 32.0 / o.height)
+          assert(m.width == math.max((o.width * scale).toInt, 1))
+          assert(m.height == math.max((o.height * scale).toInt, 1))
+        } else assert(m.content.sameElements(o.content), "in-box media untouched")
+      }
+    }
+  }
 }
