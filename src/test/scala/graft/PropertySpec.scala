@@ -117,4 +117,32 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(checked > 10)
   }
+
+  test("TopK public ordering contract: quantized-1e-6 sim desc, docId asc") {
+    import graft.link.Linker
+    // Within 1e-6 the full-precision order is accumulation noise; the
+    // contract quantizes (half-up) so the rank order is reproducible by an
+    // independent engine (the kg_links DuckDB oracle ranks by
+    // round(sim, 6)). Offers arrive in adversarial order.
+    val heap = new Linker.TopK(4)
+    heap.offer(30L, 0.7000001)  // quantizes to 700000, ties with the next two
+    heap.offer(10L, 0.70000049) // 700000 (half-up boundary stays below)
+    heap.offer(20L, 0.6999996)  // 700000
+    heap.offer(40L, 0.800001)   // 800001 — clear winner
+    heap.offer(50L, 0.7000006)  // 700001 — beats the 700000 tie group
+    val hits = heap.toHits(1L).toList
+    assert(hits.map(_.docId) == List(40L, 50L, 10L, 20L),
+      s"got ${hits.map(_.docId)}")
+    assert(hits.map(_.rank) == List(1, 2, 3, 4))
+    // Full-precision sims are preserved in the output even though ordering
+    // quantizes: doc 10's emitted sim is its exact offer value.
+    assert(hits.find(_.docId == 10L).get.similarity == 0.70000049)
+    // Eviction at capacity also honors the contract: a new doc in the same
+    // quantized band with a HIGHER docId than the worst must be rejected...
+    heap.offer(60L, 0.70000012)
+    assert(heap.toHits(1L).toList.map(_.docId) == List(40L, 50L, 10L, 20L))
+    // ...while a lower docId in the band replaces the worst.
+    heap.offer(15L, 0.69999961)
+    assert(heap.toHits(1L).toList.map(_.docId) == List(40L, 50L, 10L, 15L))
+  }
 }
