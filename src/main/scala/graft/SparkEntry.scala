@@ -369,6 +369,24 @@ object SparkEntry {
         .union(t(s, dir, "documents").select(col("source").as("val")))
         .distinct()
         .orderBy(length(col("val")).desc, col("val"))
+    }),
+    "q24_vt_export" -> ((s, dir) => {
+      // A6/A7 `.vt` source/sink, driver-verified end-to-end: write the doc
+      // vectors as a `.vt` dump (reference line format, partKey in the
+      // directory), read them back through `VtFiles.read`, and emit the
+      // round-tripped fields. The DuckDB oracle parses THE SAME FILES this
+      // query wrote (read_text + string splitting) — an independent-engine
+      // check of the serialized bytes themselves, not just of the Scala
+      // round-trip.
+      import s.implicits._
+      val (corpus, _) = kgInputs(s, dir)
+      val docs = Linker.buildDocs(s, corpus, bdict(s))
+      val out = s"$stageDir/vtdump"
+      graft.sources.VtFiles.write(docs, out)
+      graft.sources.VtFiles.read(s, out)
+        .map(d => (d.docId, d.partKey, d.tTypes, d.texts.mkString("|")))
+        .toDF("docId", "partKey", "tTypes", "texts")
+        .orderBy("docId")
     })
   )
 
@@ -665,6 +683,29 @@ object SparkEntry {
          FROM topk
          QUALIFY rank <= 5
          ORDER BY queryId, rank""",
+    // The `.vt` dump written by q24 itself, parsed byte-for-byte by DuckDB:
+    // partKey from the directory name, docId before '$', term types = first
+    // char of each '|'-separated term, texts = the rest. Any drift in the
+    // serializer, the directory layout, or the reader shows up here.
+    "q24_vt_export" ->
+      s"""WITH f AS (
+           SELECT filename, content
+           FROM read_text('$stageDir/vtdump/partKey=*/*.txt')),
+         l AS (
+           SELECT regexp_extract(filename, 'partKey=([^/]+)', 1) AS partKey,
+             unnest(string_split(content, chr(10))) AS line
+           FROM f),
+         p AS (
+           SELECT partKey, string_split(line, '$$') AS kv
+           FROM l WHERE length(trim(line)) > 0)
+         SELECT CAST(kv[1] AS BIGINT) AS docId, partKey,
+           array_to_string(
+             list_transform(string_split(kv[2], '|'), t -> t[1]), '')
+             AS tTypes,
+           array_to_string(
+             list_transform(string_split(kv[2], '|'), t -> t[2:]), '|')
+             AS texts
+         FROM p ORDER BY docId""",
     // scoreExplain (`link/Scoring.scala` — exact port of
     // `SimilarityComputer.java:500-541`) recomputed in DuckDB over the
     // explain_* stage tables: per query term, lookup = LAST equal-text doc
