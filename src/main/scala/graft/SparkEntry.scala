@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.data.SynthCorpus
 import graft.kg.KgPipeline
 import graft.link.{Dict, Linker}
-import graft.ops.{AnnOps, DedupOps, TextOps}
+import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), plus DuckDB oracle SQL for every SQL-expressible one.
@@ -68,10 +68,22 @@ object SparkEntry {
     root
   }
   private def stash(s: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(stashRoot, name).toString
+    // Stable per-name dir (mode overwrite): repeated invocations in a
+    // long-lived session (Bench's two passes, a service loop) reuse the same
+    // space instead of accumulating one temp dir per call (round-3 advice).
+    val dir = stashRoot.resolve(name).toString
     df.coalesce(1).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
   }
+
+  /** Dedicated dump root for the `.vt` export (q24) — OUTSIDE both the
+    * verify stage dir (which the driver sweeps as all-parquet; the round-3
+    * `.txt` dump under it turned the driver's `stage` check red) and
+    * `stashRoot` (whose shutdown hook would delete the files before the
+    * driver's DuckDB oracle re-reads them). Never deleted by this JVM: the
+    * oracle SQL interpolates this absolute path and runs after exit. */
+  private lazy val vtDumpDir: String =
+    java.nio.file.Files.createTempDirectory("graft-vt").toString
 
   /** Run the KG pipeline, materialize one derived result, release all run
     * caches. */
@@ -349,9 +361,8 @@ object SparkEntry {
         .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
-    // ---------------- multimodal plumbing (synthetic media; rows-only) -----
+    // ---------------- multimodal plumbing (synthetic media) ----------------
     "q20_media_features" -> ((s, dir) => {
-      import graft.ops.MultimodalOps
       val n = scaleOf(dir)._1.toLong // scale media count with sf
       val media = MultimodalOps.synthesize(s, n, seed = 11)
       import s.implicits._
@@ -360,6 +371,35 @@ object SparkEntry {
         .map(f => (f.media_id, f.modality, f.n_frames_sampled,
           math.round(f.feature.map(v => v.toDouble * v).sum * 1000.0) / 1000.0))
         .toDF("media_id", "modality", "n_frames", "feat_norm2")
+        .orderBy("media_id")
+    }),
+    "q25_media_resize" -> ((s, dir) => {
+      // Round-3's `resizeMedia` operator, driver-verified (round-4 ask #4):
+      // the resized metadata — bounding-box fit, aspect preserved, never
+      // upscaled, stub-codec length = max(trunc(len·pixelRatio), 1) — is
+      // pure arithmetic over the materialized media metadata, recomputed
+      // end-to-end by the DuckDB oracle.
+      import s.implicits._
+      val n = scaleOf(dir)._1.toLong
+      val media = MultimodalOps.synthesize(s, n, seed = 11)
+      MultimodalOps.resizeMedia(s, media, MultimodalOps.StubCodec,
+          maxW = 32, maxH = 32)
+        .map(m => (m.media_id, m.modality, m.width, m.height, m.content_len))
+        .toDF("media_id", "modality", "width", "height", "content_len")
+        .orderBy("media_id")
+    }),
+    "q26_media_frames" -> ((s, dir) => {
+      // The integer-derivable half of q20 (round-4 ask #5): frame-sampling
+      // counts through the REAL `extractFeatures` path; the oracle
+      // recomputes n_frames from content_len alone. q20's unverified
+      // surface shrinks to the stub feature floats (drift-pinned).
+      import s.implicits._
+      val n = scaleOf(dir)._1.toLong
+      val media = MultimodalOps.synthesize(s, n, seed = 11)
+      MultimodalOps.extractFeatures(s, media, MultimodalOps.StubCodec,
+          dim = 16, frameEvery = 2)
+        .map(f => (f.media_id, f.modality, f.n_frames_sampled))
+        .toDF("media_id", "modality", "n_frames")
         .orderBy("media_id")
     }),
     "q19_dict_export" -> ((s, dir) => {
@@ -381,7 +421,7 @@ object SparkEntry {
       import s.implicits._
       val (corpus, _) = kgInputs(s, dir)
       val docs = Linker.buildDocs(s, corpus, bdict(s))
-      val out = s"$stageDir/vtdump"
+      val out = s"$vtDumpDir/vtdump"
       graft.sources.VtFiles.write(docs, out)
       graft.sources.VtFiles.read(s, out)
         .map(d => (d.docId, d.partKey, d.tTypes, d.texts.mkString("|")))
@@ -471,6 +511,23 @@ object SparkEntry {
     val acc = graft.kg.Accuracy.statusTable(s, b, n.toLong, nDistricts, seed = 77)
     w(acc, "acc_status")
     acc.unpersist()
+
+    // Round-4 oracle inputs (the "materialize-the-shared-input" pattern that
+    // flipped kg_links): the seeded hyperplane table q22 buckets with, the
+    // deterministic IVF centroid table q23 quantizes against, and the
+    // synthetic media metadata q25/q26 derive from. With these in DuckDB's
+    // view, bucket keys, cell assignment, every emitted cosine, and the
+    // resize/frame arithmetic are recomputed by an independent engine.
+    w(s.createDataset(
+        org.apache.spark.sql.graft.LshKernel.hyperplanes(64, 6 * 16).toSeq
+          .zipWithIndex.map { case (p, i) => (i, p) })
+      .toDF("pid", "plane"), "lsh_planes")
+    w(s.createDataset(
+        AnnOps.ivfCentroids(t(s, dir, "embeddings"), 64).toSeq)
+      .toDF("cell", "cvec"), "ivf_centroids")
+    w(MultimodalOps.synthesize(s, n.toLong, seed = 11)
+      .toDF().select(col("media_id"), col("modality"), col("width"),
+        col("height"), col("content_len")), "media_meta")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -690,7 +747,7 @@ object SparkEntry {
     "q24_vt_export" ->
       s"""WITH f AS (
            SELECT filename, content
-           FROM read_text('$stageDir/vtdump/partKey=*/*.txt')),
+           FROM read_text('$vtDumpDir/vtdump/partKey=*/*.txt')),
          l AS (
            SELECT regexp_extract(filename, 'partKey=([^/]+)', 1) AS partKey,
              unnest(string_split(content, chr(10))) AS line
@@ -904,6 +961,92 @@ object SparkEntry {
          FROM e l JOIN e r ON l.vec_id < r.vec_id
          WHERE round(list_cosine_similarity(l.v, r.v), 4) >= 0.3
          ORDER BY a, b""",
+    // q22 EXACTNESS oracled (round-4 ask #2): DuckDB recomputes the entire
+    // LSH-verify pipeline from the materialized hyperplane table — per-vector
+    // sign bits from plane dot products (same double accumulation order as
+    // the codegen'd `HyperplaneBits`), 16 six-bit multi-table bucket keys,
+    // the a<b same-bucket self-join, exact cosines, threshold, distinct.
+    // Recall (< 1 by design) stays floor-pinned in OpsSpec; this check makes
+    // every EMITTED pair and cosine independently verified.
+    "q22_embed_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         p AS (SELECT CAST(pid // 6 AS BIGINT) AS tbl, pid % 6 AS bit, plane
+               FROM ${sp("lsh_planes")}),
+         keyed AS (
+           SELECT e.id,
+             (p.tbl << 6) + sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN (1::BIGINT << p.bit) ELSE 0::BIGINT END) AS bucket
+           FROM e CROSS JOIN p GROUP BY e.id, p.tbl),
+         pairs AS (
+           SELECT DISTINCT l.id AS a, r.id AS b
+           FROM keyed l JOIN keyed r ON l.bucket = r.bucket AND l.id < r.id)
+         SELECT pr.a, pr.b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+         FROM pairs pr JOIN e ea ON ea.id = pr.a JOIN e eb ON eb.id = pr.b
+         WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
+         ORDER BY a, b""",
+    // q23 EXACTNESS oracled (round-4 ask #3): cell assignment is argmax dot
+    // against the materialized unit centroids (ties to the lower cell — the
+    // kernel's (-s, ci) sort), queries probe their 8 nearest cells, exact
+    // cosines, top-5 with the pinned (cos desc, nid asc) order.
+    "q23_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         c AS (SELECT cell, cvec FROM ${sp("ivf_centroids")}),
+         ds AS (SELECT e.id, c.cell, list_dot_product(e.v, c.cvec) AS s
+                FROM e CROSS JOIN c),
+         ranked AS (
+           SELECT id, cell, row_number() OVER
+             (PARTITION BY id ORDER BY s DESC, cell ASC) AS r
+           FROM ds),
+         corpus AS (SELECT id AS nid, cell FROM ranked WHERE r = 1),
+         probes AS (SELECT id AS qid, cell FROM ranked
+                    WHERE r <= 8 AND id < 10),
+         scored AS (
+           SELECT p.qid, c2.nid, list_cosine_similarity(eq.v, en.v) AS c
+           FROM probes p JOIN corpus c2 ON p.cell = c2.cell AND p.qid <> c2.nid
+           JOIN e eq ON eq.id = p.qid JOIN e en ON en.id = c2.nid),
+         rk AS (
+           SELECT qid, nid, c, row_number() OVER
+             (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, nid, round(c, 4) AS cos, rank FROM rk
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    // resizeMedia recomputed as pure arithmetic over the media metadata:
+    // pass-through predicate, bounding-box scale (guarded denominators — the
+    // pass branch covers width/height = 0), trunc-to-int dims floored at 1,
+    // stub length = max(trunc(len · toW·toH/(w·h)), 1).
+    "q25_media_resize" ->
+      s"""WITH m AS (SELECT * FROM ${sp("media_meta")}),
+         r AS (
+           SELECT media_id, modality, width, height, content_len,
+             (modality = 'audio' OR width <= 0 OR height <= 0
+              OR (width <= 32 AND height <= 32)) AS pass,
+             least(CAST(32 AS DOUBLE) / greatest(width, 1),
+                   CAST(32 AS DOUBLE) / greatest(height, 1)) AS scale
+           FROM m),
+         t AS (
+           SELECT media_id, modality, pass, width, height, content_len,
+             greatest(CAST(trunc(width * scale) AS INT), 1) AS toW,
+             greatest(CAST(trunc(height * scale) AS INT), 1) AS toH
+           FROM r)
+         SELECT media_id, modality,
+           CASE WHEN pass THEN width ELSE toW END AS width,
+           CASE WHEN pass THEN height ELSE toH END AS height,
+           CASE WHEN pass THEN content_len
+                ELSE greatest(CAST(trunc(content_len *
+                  (CAST(toW * toH AS DOUBLE) / greatest(width * height, 1)))
+                  AS INT), 1) END AS content_len
+         FROM t ORDER BY media_id""",
+    // Frame-sampling count: video samples every 2nd 16-byte window of
+    // max(len/16, 1) frames → ceil(n/2); image/audio decode as one frame.
+    "q26_media_frames" ->
+      s"""SELECT media_id, modality,
+           CASE WHEN modality = 'video'
+                THEN CAST((greatest(content_len // 16, 1) + 1) // 2 AS INT)
+                ELSE 1 END AS n_frames
+         FROM ${sp("media_meta")} ORDER BY media_id""",
     "q11_token_counts" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1018,6 +1161,36 @@ object SparkEntry {
            UNION ALL SELECT source AS val FROM documents)
          ORDER BY length(val) DESC, val"""
   )
+
+  /** Machine-readable justification for every query WITHOUT an `oracleSql`
+    * entry (the driver records those as rows-only): why the semantics are
+    * not SQL-expressible, and the alternative gates that pin them — the
+    * differential test suite plus the sf0.001 content hash DriftPinSpec
+    * asserts. Verify writes each entry as `_verification.json` next to the
+    * query's parquet (underscore prefix: parquet dataset readers skip it),
+    * so the driver report can distinguish "justified rows-only,
+    * alternatively gated" from "unverified". */
+  def rowsOnlyJustification: Map[String, Map[String, String]] = Map(
+    "kg_mentions" -> Map(
+      "reason" -> ("trie deep-most backtracking search + 5-rule visitor " +
+        "arbitration over the 47k-region dictionary is not SQL-expressible"),
+      "gates" -> ("InterpretGoldenSpec/KgPipelineSpec differential goldens; " +
+        "DriftPinSpec sf0.001 content hash"),
+      "pinned_hash_sf0001" -> "fd7a50e5c9b3f15de55487c5fae83f86"),
+    "q16_ann_lsh" -> Map(
+      "reason" -> ("recall < 1 by design (confidence-ordered multi-probe " +
+        "LSH); emitted values gated by the same plane table q22's oracle " +
+        "verifies, probe flip order pinned by OpsSpec native==HOF identity"),
+      "gates" -> ("OpsSpec recall floor 0.90 vs bruteForceTopK; " +
+        "DriftPinSpec sf0.001 content hash"),
+      "pinned_hash_sf0001" -> "913a088ede732564dda9f326c519edf5"),
+    "q20_media_features" -> Map(
+      "reason" -> ("stub codec feature floats (deterministic fake decode — " +
+        "no media libs in-container); the integer-derivable metadata half " +
+        "is split into the oracled q26_media_frames"),
+      "gates" -> ("PlanAndMultimodalSpec determinism/schema/blob-pruning " +
+        "gates; DriftPinSpec sf0.001 content hash"),
+      "pinned_hash_sf0001" -> "ed866b3fd7a839ee2d752e188fe9a583"))
 
   // ---- generated oracle SQL for the hash-built dedup ops -------------------
   // The hashes are engine-portable by construction (base-31/131 polynomials

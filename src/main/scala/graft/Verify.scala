@@ -27,13 +27,6 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] stage materialization failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,6 +39,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    def jsonOf(m: Map[String, String]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Rows-only queries carry their justification + alternative gates
+        // next to the parquet (underscore prefix — parquet dataset readers
+        // ignore it, so the driver's sweep is unaffected).
+        SparkEntry.rowsOnlyJustification.get(name).foreach { just =>
+          Files.writeString(Paths.get(s"$outDir/$name/_verification.json"),
+            jsonOf(just))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

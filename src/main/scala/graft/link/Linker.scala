@@ -611,11 +611,6 @@ object Linker {
     }.toDF("district_id", "name").distinct()
   }
 
-  /** Bounded top-k keeper with pinned ordering (desc sim, asc docId).
-    * Sorted primitive arrays of size k: O(1) rejection of the common
-    * below-threshold offer, shift-insert otherwise — no boxing, no resort
-    * (`Query.addSimiDoc` replace-min semantics `Query.java:61-78`, ordering
-    * pinned). */
   /** Bounded top-k keeper. PUBLIC ORDERING CONTRACT (round 3): candidates
     * are ranked by similarity QUANTIZED to 1e-6 (half-up) descending, then
     * docId ascending. Rationale: near-identical docs produce sims that agree

@@ -144,11 +144,16 @@ object AnnOps {
     *    vectors are scored exactly. Expected cost O(N·Q·nProbe/nCells).
     *
     * Recall < 1 by design; measured against `bruteForceTopK` in OpsSpec. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
-      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The deterministic IVF coarse quantizer: a hash-ordered corpus sample
+    * (smallest xxhash64(id) wins), L2-normalized, indexed by ascending
+    * source id. Exposed so the DuckDB oracle can materialize the exact
+    * centroid table `ivfTopK` quantizes against and recompute cell
+    * assignment + probing + cosines independently (stage-table pattern). */
+  def ivfCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids: Array[(Int, Array[Double])] = corpus
+    corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         xxhash64(col(idCol)).as("h"))
       .orderBy(col("h"), col("id")).limit(nCells)
@@ -161,6 +166,13 @@ object AnnOps {
         val n = math.sqrt(d.map(x => x * x).sum)
         (i, if (n == 0) d else d.map(_ / n))
       }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(centroids)
 
     def cellsOf(vec: Array[Float], top: Int): Array[Int] = {

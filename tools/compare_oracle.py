@@ -26,7 +26,22 @@ def main(sf_dir: str, vout: str) -> int:
     bad = 0
     for qname in sorted(os.listdir(vout)):
         qdir = os.path.join(vout, qname)
-        if not os.path.isdir(qdir) or qname == "stage":
+        if not os.path.isdir(qdir):
+            continue
+        if qname == "stage":
+            # Mimic the driver's stage sweep: every subdir must be readable
+            # as a parquet dataset (round 3 regressed here — a .vt text dump
+            # under stage made the driver's pyarrow read_table fail while
+            # this replica silently skipped the dir).
+            import pyarrow.parquet as pq
+            try:
+                subs = sorted(os.listdir(qdir))
+                for sub in subs:
+                    pq.read_table(os.path.join(qdir, sub))
+                print(f"stage: OK ({len(subs)} parquet-readable stage tables)")
+            except Exception as e:
+                print(f"stage: STAGE_READ_ERROR {e}")
+                bad += 1
             continue
         parts = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
         if not parts:
