@@ -232,6 +232,13 @@ object Bench {
          |shares one DRAM controller and all-core turbo clocks; a real 4x
          |scale-out (4 machines) multiplies memory bandwidth with cores, which
          |this single-box proxy cannot.
+         |
+         |Methodology note (round 3+): every per-query timing includes a
+         |`coalesce(1)` parquet stash of the full result (the cache-release
+         |seam); for unbounded outputs (e.g. kg_triples) this serializes the
+         |result tail into the timed window, so per-query numbers are not
+         |directly comparable to pre-round-3 figures that timed `count()`
+         |alone.
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), report)
   }
