@@ -120,22 +120,19 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       i.count(); i
     }
-    val docsIdf = time("attachIdf") {
-      val d = Linker.attachIdf(spark, docs, idf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d.count(); d
-    }
     val mentions = time("detectMentions+stamp") {
       val m = KgPipeline.stampQueryIdf(spark,
         KgPipeline.detectMentions(spark, turns, b), idf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       m.count(); m
     }
-    val hits = time("linkTopKAuto") {
-      // The AUTO path — what KgPipeline.run actually executes; persisted so
-      // the triples timing below measures triple emission, not a second
-      // link pass.
-      val h = Linker.linkTopKAuto(spark, mentions.map(_.doc), docsIdf, 5)
+    val hits = time("linkTopKAuto (fused idf)") {
+      // The AUTO FUSED path — what KgPipeline.run actually executes (round
+      // 4: idf stamps in-cell, no attachIdf cogroup); persisted so the
+      // triples timing below measures triple emission, not a second link
+      // pass.
+      val h = Linker.linkTopKAuto(spark, mentions.map(_.doc), docs, 5,
+          idf = Some(idf))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       h.count(); h
     }

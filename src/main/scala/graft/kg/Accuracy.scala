@@ -41,16 +41,16 @@ object Accuracy {
     val docs = Linker.buildDocs(spark, corpus, dict)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = Linker.buildIdf(spark, docs)
-      .persist(StorageLevel.MEMORY_AND_DISK) // attachIdf + analyseQueries
-    val docsIdf = Linker.attachIdf(spark, docs, idf)
-      .persist(StorageLevel.MEMORY_AND_DISK) // auto stats + link shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK) // fused link + analyseQueries
 
     // Query ids offset so they never collide with corpus doc ids.
     val queries = pairs.map(p => (p.id + n, p.queryText))
     val qdocs = Linker.analyseQueries(spark, queries, dict, idf)
       .persist(StorageLevel.MEMORY_AND_DISK) // interpreted-flag + linkTopK
 
-    val hits = Linker.linkTopKAuto(spark, qdocs, docsIdf, topN = 1)
+    // Fused idf attach: no separate docsIdf stage (round 4).
+    val hits = Linker.linkTopKAuto(spark, qdocs, docs, topN = 1,
+      idf = Some(idf))
 
     val labels = pairs.select($"id", $"gridId")
     val interpreted = qdocs.map(_.docId - n).toDF("pair_id")
@@ -73,7 +73,7 @@ object Accuracy {
     // the shared-session test suite (and repeated Verify queries) would
     // otherwise accumulate doc/idf/query vectors nothing reads again.
     status.count()
-    Seq(pairs, docs, idf, docsIdf, qdocs).foreach(_.unpersist())
+    Seq(pairs, docs, idf, qdocs).foreach(_.unpersist())
     status
   }
 

@@ -222,17 +222,23 @@ object KgPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = Linker.buildIdf(spark, docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Persisted: linkTopKAuto reads it twice (per-partKey stats, then the
-    // link shuffle) — unpersisted, the attachIdf cogroup would run twice.
-    val docsIdf = Linker.attachIdf(spark, docs, idf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = stampQueryIdf(spark, detectMentions(spark, turns, dict), idf)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hits = Linker.linkTopKAuto(spark, mentions.map(_.doc), docsIdf, topN)
+    // FUSED idf attach (round 4): the doc side goes into the link shuffle
+    // with zero idfs and the per-district IDF table ships into the scoring
+    // cells, where sides are stamped before scoring. One fewer full
+    // doc-side shuffle (the old attachIdf cogroup) and one fewer persisted
+    // stage; bit-identical hits (KgPipelineSpec fused gate, DriftPinSpec).
+    val hits = Linker.linkTopKAuto(spark, mentions.map(_.doc), docs, topN,
+        idf = Some(idf))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Cold-path view for consumers that need idf-stamped doc vectors
+    // (per-term explain, stage materialization): derived on demand, NOT
+    // persisted — it no longer participates in the link job.
+    val docsIdf = Linker.attachIdf(spark, docs, idf)
     val triples = mentionTriples(spark, mentions, dict)
       .union(linkTriples(spark, mentions, hits))
     KgRun(mentions, triples, hits, idf, docsIdf,
-      Seq(docs, idf, docsIdf, mentions, hits))
+      Seq(docs, idf, mentions, hits))
   }
 }

@@ -221,7 +221,8 @@ object Linker {
   def linkTopK(spark: SparkSession, queries: Dataset[DocVec],
       docs: Dataset[DocVec], topN: Int, qBuckets: Int = 64,
       dBuckets: Int = 1, blobSize: Int = 256,
-      knobsByPk: Map[String, CellKnobs] = Map.empty): Dataset[LinkHit] = {
+      knobsByPk: Map[String, CellKnobs] = Map.empty,
+      idf: Option[Dataset[graft.model.IdfRow]] = None): Dataset[LinkHit] = {
     import spark.implicits._
     val default = CellKnobs(math.max(1, qBuckets), math.max(1, dBuckets))
     val bknobs = spark.sparkContext.broadcast(knobsByPk)
@@ -230,6 +231,18 @@ object Linker {
     def dbOf(knobs: Map[String, CellKnobs], pk: String): Int =
       math.max(1, knobs.getOrElse(pk, default).dBuckets)
     val anyDb = default.dBuckets > 1 || knobsByPk.valuesIterator.exists(_.dBuckets > 1)
+    // Fused idf attach (round 4): with `idf` given, `docs` carry ZERO idfs
+    // and the per-district IDF table ships into every scoring cell as
+    // chunked binary blocks alongside the doc blobs; sides are stamped
+    // in-cell before scoring (`Scoring.stampSideIdfs`). This removes the
+    // separate `attachIdf` cogroup — one fewer full doc-side shuffle and no
+    // per-task district-dictionary buffer on the doc path — and the doc
+    // blobs drop their 8-bytes-per-term idf payload from the ×qBuckets
+    // replication. Replication trade: idf rows travel ×(g·db) per district,
+    // but a district's DISTINCT-term table is far smaller than its
+    // doc-term payload. Bit-identical: same map content, same stamp rule
+    // (KgPipelineSpec fused-vs-prestamped gate, DriftPinSpec hashes).
+    val fused = idf.isDefined
 
     // db(pk)==1: each query visits exactly one cell. db(pk)>1: queries
     // replicate across the doc buckets (partial top-k merged below).
@@ -241,25 +254,54 @@ object Linker {
           dbk)
       }
     // Pack per input partition, assign doc-buckets round-robin per blob,
-    // replicate each blob to every query bucket of its partKey.
+    // replicate each blob to every query bucket of its partKey. Tag 0 =
+    // doc blob, tag 1 = idf blob (replicated to every cell of its partKey).
     val blobs = docs.mapPartitions { it =>
       var blobIdx = 0
-      DocBlob.packGroups(it, blobSize).map { case (pk, bytes) =>
+      DocBlob.packGroups(it, blobSize, withIdfs = !fused).map { case (pk, bytes) =>
         blobIdx += 1
         (pk, blobIdx % dbOf(bknobs.value, pk), bytes)
       }
     }
-    val dKeyed = blobs.flatMap { case (pk, dbk, bytes) =>
-      (0 until gOf(bknobs.value, pk)).map(qb => (pk, qb, dbk, bytes))
-    }.groupByKey { case (pk, qb, dbk, _) =>
+    val dTagged = blobs.flatMap { case (pk, dbk, bytes) =>
+      (0 until gOf(bknobs.value, pk)).map(qb => (pk, qb, dbk, 0, bytes))
+    }
+    val dAll = idf match {
+      case None => dTagged
+      case Some(rows) =>
+        val idfTagged = rows.mapPartitions(it => IdfBlob.packGroups(it))
+          .flatMap { case (pk, bytes) =>
+            val knobs = bknobs.value
+            val g = gOf(knobs, pk)
+            val db = dbOf(knobs, pk)
+            val dbks = if (db == 1) 1 else db
+            for { qb <- 0 until g; dbk <- 0 until dbks }
+              yield (pk, qb, dbk, 1, bytes)
+          }
+        dTagged.union(idfTagged)
+    }
+    val dKeyed = dAll.groupByKey { case (pk, qb, dbk, _, _) =>
       (pk, qb, if (dbOf(bknobs.value, pk) == 1) 0 else dbk)
     }
 
     val partial = qKeyed.cogroup(dKeyed) { (_, qIt, dIt) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Scoring.Side]
-      dIt.foreach { case (_, _, _, bytes) => DocBlob.unpackSides(bytes, buf) }
+      val idfMap =
+        if (fused) new java.util.HashMap[String, java.lang.Double]() else null
+      dIt.foreach { case (_, _, _, tag, bytes) =>
+        if (tag == 1) IdfBlob.unpackInto(bytes, idfMap)
+        else DocBlob.unpackSides(bytes, buf, withIdfs = !fused)
+      }
       if (buf.isEmpty) Iterator.empty
-      else scoreCellBlocked(qIt.map(_._2), buf.toArray, topN)
+      else {
+        if (fused) {
+          // Stamp AFTER the full pass: idf chunks interleave arbitrarily
+          // with doc blobs in the cell's iterator.
+          var i = 0
+          while (i < buf.length) { Scoring.stampSideIdfs(buf(i), idfMap); i += 1 }
+        }
+        scoreCellBlocked(qIt.map(_._2), buf.toArray, topN)
+      }
     }
     if (!anyDb) partial
     else partial.groupByKey(_.queryId).flatMapGroups { (qid, hits) =>
@@ -292,7 +334,8 @@ object Linker {
       docs: Dataset[DocVec], topN: Int,
       targetPairsPerCell: Long = 1L << 22, maxDocsPerCell: Int = 1 << 16,
       maxQBuckets: Int = 256, bcastQMax: Long = 512,
-      bcastTotalMax: Long = 1L << 17): Dataset[LinkHit] = {
+      bcastTotalMax: Long = 1L << 17,
+      idf: Option[Dataset[graft.model.IdfRow]] = None): Dataset[LinkHit] = {
     import spark.implicits._
     // Both sides' per-partKey counts in ONE job (fixed per-job overhead is
     // the measured scaling bound on this box — don't pay it twice).
@@ -352,14 +395,34 @@ object Linker {
     val restHits = linkTopK(spark,
       queries.filter(q => bShuffle.value.contains(q.partKey)),
       docs.filter(d => bShuffle.value.contains(d.partKey)),
-      topN, qBuckets = 1, dBuckets = 1, knobsByPk = knobs)
+      topN, qBuckets = 1, dBuckets = 1, knobsByPk = knobs,
+      idf = idf.map(_.filter(r => bShuffle.value.contains(r.partKey))))
 
     if (bcastPks.isEmpty) restHits
     else {
       val bBcast = spark.sparkContext.broadcast(bcastPks)
       val qB = queries.filter(q => bBcast.value.contains(q.partKey)).collect()
+      // Fused idf on the broadcast route: the route's districts' idf tables
+      // are collected and broadcast next to the queries, and the streamed
+      // doc sides are stamped in-task. Driver memory is bounded by those
+      // districts' DISTINCT-term dictionaries — the same structure the
+      // pre-fusion attachIdf cogroup buffered per task (and ≪ the doc
+      // payload the route exists to avoid shuffling); address-shaped
+      // vocabularies saturate, so this is a broadcast-dimension-sized
+      // collect, like the queries themselves.
+      val idfB = idf.map { rows =>
+        val m = new scala.collection.mutable.HashMap[
+          String, java.util.HashMap[String, java.lang.Double]]()
+        rows.filter(r => bBcast.value.contains(r.partKey)).collect()
+          .foreach { r =>
+            m.getOrElseUpdate(r.partKey,
+              new java.util.HashMap[String, java.lang.Double]())
+              .put(r.termKey, r.idf)
+          }
+        spark.sparkContext.broadcast(m.toMap)
+      }
       val hitsB = linkTopKBroadcast(spark,
-        qB, docs.filter(d => bBcast.value.contains(d.partKey)), topN)
+        qB, docs.filter(d => bBcast.value.contains(d.partKey)), topN, idfB)
       restHits.union(hitsB)
     }
   }
@@ -369,7 +432,9 @@ object Linker {
     * partKey. Emits per-partition partial top-k; final top-k is a tiny
     * shuffle of k*|queries| rows. */
   def linkTopKBroadcast(spark: SparkSession, queries: Array[DocVec],
-      docs: Dataset[DocVec], topN: Int): Dataset[LinkHit] = {
+      docs: Dataset[DocVec], topN: Int,
+      idfByPk: Option[Broadcast[Map[String, java.util.HashMap[String, java.lang.Double]]]] = None)
+      : Dataset[LinkHit] = {
     import spark.implicits._
     val byPart = queries.groupBy(_.partKey)
     val bq = spark.sparkContext.broadcast(byPart)
@@ -407,6 +472,15 @@ object Linker {
             stamps = new Array[Int](qidx.qs.length)
           stamp += 1
           val ds = new Scoring.Side(d)
+          // Fused idf attach: streamed docs carry zero idfs; stamp from the
+          // broadcast per-district map (same rule as the cell path). A
+          // missing district stamps against the empty map — every term gets
+          // MISSING_IDF, exactly attachIdf's behavior for an idf-less
+          // partKey (cannot occur when idf derives from these docs).
+          idfByPk.foreach { b =>
+            Scoring.stampSideIdfs(ds,
+              b.value.getOrElse(d.partKey, EmptyIdfMap))
+          }
           val hs = ds.hashes
           var i = 0
           while (i < hs.length) {
@@ -463,6 +537,8 @@ object Linker {
       ExplainedHit(h.queryId, h.docId, h.rank, h.similarity, terms)
     }
   }
+
+  private val EmptyIdfMap = new java.util.HashMap[String, java.lang.Double]()
 
   /** Minimal growable int array (postings lists; ArrayBuffer[Int] boxes). */
   private final class IntVec {

@@ -297,6 +297,29 @@ object Scoring {
   def score(qdoc: DocVec, ddoc: DocVec): Double =
     score(new QuerySide(qdoc), new Side(ddoc))
 
+  /** Stamp per-term idfs onto an unpacked doc side from a partition idf map
+    * — the in-cell half of the fused idf attach (`Linker.linkTopK(idf =
+    * Some(...))`). EXACTLY `DocAnalyser.stampIdf` on the compiled layout:
+    * key = term text, except RoadNum's composite `"<roadText>-<num>"`
+    * (`generateIDFCacheEntryKey` `SimilarityComputer.java:180-187`); misses
+    * get MISSING_IDF. Safe after Side construction: nothing in Side derives
+    * from idfs (hashes/sort are text-only); only `score` reads them. */
+  def stampSideIdfs(s: Side,
+      m: java.util.HashMap[String, java.lang.Double]): Unit = {
+    var i = 0
+    while (i < s.n) {
+      val key =
+        if (s.types.charAt(i) == 'N') {
+          val num = graft.analyse.Segmenter.translateRoadNum(s.textAt(i))
+          (if (s.road == null) "" else s.road) + "-" + num
+        } else s.textAt(i)
+      val v = m.get(key)
+      s.idfs(i) = if (v == null) graft.analyse.DocAnalyser.MissingIdf
+                  else v.doubleValue()
+      i += 1
+    }
+  }
+
   /** One matched doc term of an explained hit — the reference's
     * `MatchedTerm` (`similarity/MatchedTerm.java:3-8`): the doc term the
     * query term resolved to, its boost and final tfidf, and density/coord

@@ -225,6 +225,33 @@ class KgPipelineSpec extends AnyFunSuite {
       .map(h => (h.queryId, h.docId, h.rank,
         java.lang.Double.doubleToLongBits(h.similarity))).toSet
     assert(autoBcast == base)
+
+    // FUSED idf attach (round 4): zero-idf docs + in-cell stamping from the
+    // shipped idf table is bit-identical to pre-stamped docs — across plain
+    // cells, doc-bucketed cells, auto knobs, and the broadcast route (which
+    // stamps streamed sides from the broadcast per-district maps).
+    def runFused(qb: Int, db: Int, blob: Int) =
+      Linker.linkTopK(s, docs, docs0, 5, qBuckets = qb, dBuckets = db,
+        blobSize = blob, idf = Some(idf))
+        .collect()
+        .map(h => (h.queryId, h.docId, h.rank,
+          java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(runFused(1, 1, 1000000) == base)
+    assert(runFused(7, 3, 16) == base)
+    val autoFused = Linker.linkTopKAuto(s, docs, docs0, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 0,
+        idf = Some(idf))
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(autoFused == base)
+    val autoBcastFused = Linker.linkTopKAuto(s, docs, docs0, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 1000000,
+        idf = Some(idf))
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(autoBcastFused == base)
   }
 
   test("co-mention adjacency: edge weights count distinct conversations") {
