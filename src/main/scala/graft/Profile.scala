@@ -126,7 +126,11 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       m.count(); m
     }
-    val hits = time("linkTopKAuto (fused idf)") {
+    // GRAFT_FUSED=0 profiles the legacy prestamped path (attachIdf cogroup
+    // + idf-carrying blobs) for A/B against the fused default — same
+    // session, same input, so ambient noise cancels.
+    val fusedMode = sys.env.getOrElse("GRAFT_FUSED", "1") == "1"
+    val hits = if (fusedMode) time("linkTopKAuto (fused idf)") {
       // The AUTO FUSED path — what KgPipeline.run actually executes (round
       // 4: idf stamps in-cell, no attachIdf cogroup); persisted so the
       // triples timing below measures triple emission, not a second link
@@ -135,6 +139,17 @@ object Profile {
           idf = Some(idf))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       h.count(); h
+    } else {
+      val docsIdf = time("attachIdf") {
+        val d = Linker.attachIdf(spark, docs, idf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      time("linkTopKAuto (prestamped)") {
+        val h = Linker.linkTopKAuto(spark, mentions.map(_.doc), docsIdf, 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        h.count(); h
+      }
     }
     time("triples") {
       KgPipeline.mentionTriples(spark, mentions, b)

@@ -986,6 +986,54 @@ object SparkEntry {
          FROM pairs pr JOIN e ea ON ea.id = pr.a JOIN e eb ON eb.id = pr.b
          WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
          ORDER BY a, b""",
+    // q16 fully oracled (round-4 stretch): even the confidence-ordered
+    // multi-probe flip order is SQL-expressible from the same plane table —
+    // per (query, table), rank bits by (abs(dot), bit) and flip the two
+    // least-confident ones (Lv et al. multi-probe; probes=3 → base + 2
+    // flips). Corpus side keeps base buckets only, mirroring `lshTopK`'s
+    // query-side-only probe replication. With this, EVERY ANN path's
+    // emitted values are independently recomputed; recall floors stay
+    // pinned in OpsSpec.
+    "q16_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         p AS (SELECT CAST(pid // 6 AS BIGINT) AS tbl, pid % 6 AS bit, plane
+               FROM ${sp("lsh_planes")}),
+         dots AS (
+           SELECT e.id, p.tbl, p.bit, list_dot_product(e.v, p.plane) AS dp
+           FROM e CROSS JOIN p),
+         base AS (
+           SELECT id, tbl,
+             CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << bit)
+                           ELSE 0::BIGINT END) AS BIGINT) AS bk
+           FROM dots GROUP BY id, tbl),
+         ckeys AS (SELECT id AS nid, (tbl << 6) + bk AS bucket FROM base),
+         flips AS (
+           SELECT id, tbl, bit,
+             row_number() OVER (PARTITION BY id, tbl
+               ORDER BY abs(dp), bit) AS rk
+           FROM dots WHERE id < 10),
+         qkeys AS (
+           SELECT id AS qid, (tbl << 6) + bk AS bucket FROM base WHERE id < 10
+           UNION ALL
+           SELECT f.id, (f.tbl << 6) + xor(b.bk, (1::BIGINT << f.bit))
+           FROM flips f JOIN base b ON b.id = f.id AND b.tbl = f.tbl
+           WHERE f.rk <= 2),
+         cand AS (
+           SELECT DISTINCT q.qid, c.nid
+           FROM qkeys q JOIN ckeys c ON q.bucket = c.bucket
+             AND q.qid <> c.nid),
+         scored AS (
+           SELECT cand.qid, cand.nid,
+             list_cosine_similarity(eq.v, en.v) AS c
+           FROM cand JOIN e eq ON eq.id = cand.qid
+           JOIN e en ON en.id = cand.nid),
+         rk AS (
+           SELECT qid, nid, c, row_number() OVER
+             (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, nid, round(c, 4) AS cos, rank FROM rk
+         WHERE rank <= 5 ORDER BY qid, rank""",
     // q23 EXACTNESS oracled (round-4 ask #3): cell assignment is argmax dot
     // against the materialized unit centroids (ties to the lower cell — the
     // kernel's (-s, ci) sort), queries probe their 8 nearest cells, exact
@@ -1177,13 +1225,6 @@ object SparkEntry {
       "gates" -> ("InterpretGoldenSpec/KgPipelineSpec differential goldens; " +
         "DriftPinSpec sf0.001 content hash"),
       "pinned_hash_sf0001" -> "fd7a50e5c9b3f15de55487c5fae83f86"),
-    "q16_ann_lsh" -> Map(
-      "reason" -> ("recall < 1 by design (confidence-ordered multi-probe " +
-        "LSH); emitted values gated by the same plane table q22's oracle " +
-        "verifies, probe flip order pinned by OpsSpec native==HOF identity"),
-      "gates" -> ("OpsSpec recall floor 0.90 vs bruteForceTopK; " +
-        "DriftPinSpec sf0.001 content hash"),
-      "pinned_hash_sf0001" -> "913a088ede732564dda9f326c519edf5"),
     "q20_media_features" -> Map(
       "reason" -> ("stub codec feature floats (deterministic fake decode — " +
         "no media libs in-container); the integer-derivable metadata half " +
