@@ -152,6 +152,14 @@ object Bench {
     //    single box the all-core run shares one DRAM + all-core clocks, a
     //    confound that a real 4x-machine scale-out does not have.
     val inputDir = Files.createTempDirectory("graft-bench").toString
+    // The scaling input can be GBs at high multipliers; delete it on exit
+    // instead of leaking one temp tree per bench invocation.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete(); ()
+      }
+      rm(new java.io.File(inputDir))
+    }))
     writeScalingInput(sfDir, dict, inputDir)
     val core2 = math.max(1, cpus / 16)
     val core8 = math.max(1, cpus / 4)
