@@ -70,6 +70,45 @@ object TranscriptStream {
       }
   }
 
+  /** Continuous entity LINKING: arriving turns → mentions → bounded top-k
+    * link against a STATIC historical corpus → triples, per micro-batch.
+    *
+    * Spark-first shape: `foreachBatch` reuses the EXACT batch operators —
+    * `detectMentions` (stateless narrow map over the broadcast trie),
+    * `stampQueryIdf` (cogroup against the static IDF table), and the fused
+    * `linkTopKAuto` (in-cell idf stamp, counted per-district knobs) — so
+    * stream/batch parity is structural and every micro-batch gets the same
+    * skew-safe plan the batch job plans. Per-query bounded top-k against a
+    * reference corpus is NOT expressible as a stateless stream-stream join
+    * (each query needs its full candidate set before ranking), so the
+    * micro-batch is the correct granularity: all state lives in the static
+    * side (docs + idf, persisted once by the caller), the stream side is
+    * processed exactly once per batch, and end-to-end exactly-once comes
+    * from the checkpointed sink offset log. Mention triples ride along so
+    * the sink receives each turn's complete triple set atomically. */
+  def linkStream(spark: SparkSession, turns: Dataset[Turn],
+      dict: Broadcast[Dict], docs: Dataset[graft.model.DocVec],
+      idf: Dataset[graft.model.IdfRow], topN: Int, checkpointDir: String)(
+      sink: (Dataset[graft.model.Triple], Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    turns.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        val mentions = KgPipeline.stampQueryIdf(spark,
+          KgPipeline.detectMentions(spark, batch, dict), idf)
+          .persist()
+        try {
+          val hits = graft.link.Linker.linkTopKAuto(spark,
+            mentions.map(_.doc), docs, topN, idf = Some(idf))
+          sink(KgPipeline.mentionTriples(spark, mentions, dict)
+            .union(KgPipeline.linkTriples(spark, mentions, hits)), batchId)
+        } finally { mentions.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Wire a parquet-directory stream end-to-end: detected mentions appended
     * to `outDir`, exactly-once via `checkpointDir`. Returns the query. */
   def runMentionIngest(spark: SparkSession, inputDir: String, outDir: String,

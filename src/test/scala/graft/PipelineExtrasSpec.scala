@@ -258,6 +258,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming link vs static corpus == batch link (triples across micro-batches)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val bdict = s.sparkContext.broadcast(d0)
+    // Static historical side, prepared once (what a deployment keeps hot).
+    val corpus = s.createDataset(SynthCorpus.corpus(d0.regions, 300, 4, seed = 91))
+    val docs = graft.link.Linker.buildDocs(s, corpus, bdict).persist()
+    val idf = graft.link.Linker.buildIdf(s, docs).persist()
+    val turns = SynthCorpus.transcripts(d0.regions, 60, 4, seed = 92)
+
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, String, String, Long)]())
+    val ckpt = Files.createTempDirectory("graft-linkstream").toString
+    val input = MemoryStream[Turn]
+    val q = graft.streaming.TranscriptStream.linkStream(
+        s, input.toDS(), bdict, docs, idf, topN = 3, ckpt) { (triples, _) =>
+      triples.collect().foreach(t => got.add(
+        (t.subj, t.pred, t.obj, t.partKey,
+          java.lang.Double.doubleToLongBits(t.score))))
+      ()
+    }
+    try {
+      input.addData(turns.take(25))
+      q.processAllAvailable()
+      input.addData(turns.drop(25))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSet
+
+    // Batch reference: identical stages over ALL turns at once. Mention
+    // triples are per-turn and link top-k is per-query vs the static side,
+    // so the micro-batch union must equal the one-shot batch exactly —
+    // including bit-identical scores (fused link, pinned ties).
+    val mentions = graft.kg.KgPipeline.stampQueryIdf(s,
+      graft.kg.KgPipeline.detectMentions(s, s.createDataset(turns), bdict), idf)
+    val hits = graft.link.Linker.linkTopKAuto(s, mentions.map(_.doc), docs, 3,
+      idf = Some(idf))
+    val batch = graft.kg.KgPipeline.mentionTriples(s, mentions, bdict)
+      .union(graft.kg.KgPipeline.linkTriples(s, mentions, hits))
+      .collect()
+      .map(t => (t.subj, t.pred, t.obj, t.partKey,
+        java.lang.Double.doubleToLongBits(t.score))).toSet
+    assert(batch.nonEmpty && batch.exists(_._2 == "linkedTo"))
+    assert(streamed == batch)
+    docs.unpersist(); idf.unpersist()
+  }
+
   test("streaming near-dup vs static corpus == batch LSH join; exact dups always found") {
     val s = spark
     import s.implicits._
