@@ -88,6 +88,24 @@ class PlanSpec extends AnyFunSuite {
       bf.take(400))
   }
 
+  test("media resize and feature-extract stages plan shuffle-free (no Exchange)") {
+    // The docs claim a narrow batched-per-partition shape for the codec
+    // stages — at 100 TB that is the difference between "payload bytes
+    // stream through each task once" and an accidental full-shuffle of
+    // blobs. Pin it: neither stage's physical plan may contain an
+    // Exchange above the synthesized input.
+    val s = spark
+    val media = graft.ops.MultimodalOps.synthesize(s, 100, seed = 11)
+    val resized = graft.ops.MultimodalOps.resizeMedia(
+      s, media, graft.ops.MultimodalOps.StubCodec, maxW = 32, maxH = 32)
+    val features = graft.ops.MultimodalOps.extractFeatures(
+      s, media, graft.ops.MultimodalOps.StubCodec, dim = 8, frameEvery = 2)
+    val pr = resized.queryExecution.executedPlan.toString
+    val pf = features.queryExecution.executedPlan.toString
+    assert(!pr.contains("Exchange"), pr)
+    assert(!pf.contains("Exchange"), pf)
+  }
+
   test("binary payload column prunes away for metadata-only aggregation") {
     val dir = Files.createTempDirectory("graft-media").toString
     MultimodalOps.synthesize(spark, 50, seed = 4).write
