@@ -81,9 +81,13 @@ object SparkEntry {
     * `.txt` dump under it turned the driver's `stage` check red) and
     * `stashRoot` (whose shutdown hook would delete the files before the
     * driver's DuckDB oracle re-reads them). Never deleted by this JVM: the
-    * oracle SQL interpolates this absolute path and runs after exit. */
+    * oracle SQL interpolates this absolute path and runs after exit. A
+    * STABLE path (not a fresh temp dir per JVM): `VtFiles.write` is mode
+    * `overwrite`, so successive Verify/Bench runs reuse the same tree
+    * instead of accumulating orphaned graft-vt dirs (round-4 advice). */
   private lazy val vtDumpDir: String =
-    java.nio.file.Files.createTempDirectory("graft-vt").toString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-vt-dump")
+      .toString
 
   /** Run the KG pipeline, materialize one derived result, release all run
     * caches. */
@@ -1218,20 +1222,33 @@ object SparkEntry {
     * query's parquet (underscore prefix: parquet dataset readers skip it),
     * so the driver report can distinguish "justified rows-only,
     * alternatively gated" from "unverified". */
+  /** Single source of truth for the sf0.001 content-hash drift pins:
+    * DriftPinSpec asserts against THESE values, and the shipped
+    * `_verification.json` (rowsOnlyJustification) quotes the same map — so a
+    * justified re-pin in one place can never leave the other stale
+    * (round-4 advice). */
+  val driftPins: Map[String, String] = Map(
+    "kg_links" -> "88b87962f578cf28daa21f0248660ff0",
+    "kg_mentions" -> "fd7a50e5c9b3f15de55487c5fae83f86",
+    "q16_ann_lsh" -> "913a088ede732564dda9f326c519edf5",
+    "q20_media_features" -> "ed866b3fd7a839ee2d752e188fe9a583",
+    "q22_embed_neardup_lsh" -> "50955f3bba590b9be138edc5ce27d7f6",
+    "q23_ann_ivf" -> "d314385e12acc54b26759346f076619f")
+
   def rowsOnlyJustification: Map[String, Map[String, String]] = Map(
     "kg_mentions" -> Map(
       "reason" -> ("trie deep-most backtracking search + 5-rule visitor " +
         "arbitration over the 47k-region dictionary is not SQL-expressible"),
       "gates" -> ("InterpretGoldenSpec/KgPipelineSpec differential goldens; " +
         "DriftPinSpec sf0.001 content hash"),
-      "pinned_hash_sf0001" -> "fd7a50e5c9b3f15de55487c5fae83f86"),
+      "pinned_hash_sf0001" -> driftPins("kg_mentions")),
     "q20_media_features" -> Map(
       "reason" -> ("stub codec feature floats (deterministic fake decode — " +
         "no media libs in-container); the integer-derivable metadata half " +
         "is split into the oracled q26_media_frames"),
       "gates" -> ("PlanAndMultimodalSpec determinism/schema/blob-pruning " +
         "gates; DriftPinSpec sf0.001 content hash"),
-      "pinned_hash_sf0001" -> "ed866b3fd7a839ee2d752e188fe9a583"))
+      "pinned_hash_sf0001" -> driftPins("q20_media_features")))
 
   // ---- generated oracle SQL for the hash-built dedup ops -------------------
   // The hashes are engine-portable by construction (base-31/131 polynomials

@@ -181,7 +181,9 @@ object IdfBlob {
     val count = in.readInt()
     var k = 0
     while (k < count) {
-      val len = in.readShort().toInt
+      // u16 read (matching DocBlob.readStr): a termKey longer than 32767
+      // chars must not come back negative and corrupt the stream.
+      val len = in.readShort() & 0xffff
       val a = new Array[Char](len)
       var j = 0
       while (j < len) { a(j) = in.readChar(); j += 1 }

@@ -82,10 +82,13 @@ object TranscriptStream {
     * reference corpus is NOT expressible as a stateless stream-stream join
     * (each query needs its full candidate set before ranking), so the
     * micro-batch is the correct granularity: all state lives in the static
-    * side (docs + idf, persisted once by the caller), the stream side is
-    * processed exactly once per batch, and end-to-end exactly-once comes
-    * from the checkpointed sink offset log. Mention triples ride along so
-    * the sink receives each turn's complete triple set atomically. */
+    * side (docs + idf, persisted once by the caller) and each micro-batch is
+    * planned once. Delivery to the sink is AT-LEAST-ONCE — `foreachBatch`
+    * can replay a batch after a failure between the sink write and the
+    * offset commit — so `batchId` is passed to the sink; an idempotent or
+    * transactional sink (e.g. overwrite-by-batchId partition) upgrades this
+    * to effective exactly-once. Mention triples ride along so the sink
+    * receives each turn's complete triple set atomically. */
   def linkStream(spark: SparkSession, turns: Dataset[Turn],
       dict: Broadcast[Dict], docs: Dataset[graft.model.DocVec],
       idf: Dataset[graft.model.IdfRow], topN: Int, checkpointDir: String)(

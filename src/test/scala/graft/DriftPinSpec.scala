@@ -9,6 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * would be circular), so a pinned content hash at sf0.001 catches silent
   * semantic drift between rounds: any change to mention detection, scoring,
   * ranking, or id assignment flips the hash and must be acknowledged here.
+  *
+  * The expected hashes live in `SparkEntry.driftPins` — the SAME map the
+  * shipped `_verification.json` quotes — so a justified re-pin updates both
+  * the spec and the driver artifact in one edit (round-4 advice).
   */
 class DriftPinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -18,39 +22,28 @@ class DriftPinSpec extends AnyFunSuite {
     val rows = df.collect().map(_.toSeq.map {
       case d: Double => f"$d%.9f"
       case x         => String.valueOf(x)
-    }.mkString("")).sorted
+    }.mkString("\u0001")).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update(10.toByte) }
     md.digest().map("%02x".format(_)).mkString
   }
 
-  test("kg_links content hash is pinned at sf0.001") {
-    // Re-pinned in round 3: TopK's public tie-break moved to quantized-1e-6
-    // sim + docId asc (see Linker.TopK), reordering near-tie ranks.
-    assert(hashOf("kg_links") == "88b87962f578cf28daa21f0248660ff0")
+  // kg_links re-pinned in round 3: TopK's public tie-break moved to
+  // quantized-1e-6 sim + docId asc (see Linker.TopK), reordering near-tie
+  // ranks. The remaining rows-only driver queries are all deterministic by
+  // construction (seeded hyperplanes/centroids, stub codec), so they get the
+  // same silent-drift protection: any semantic change must re-pin in
+  // SparkEntry.driftPins.
+  for ((name, expected) <- SparkEntry.driftPins.toSeq.sortBy(_._1)) {
+    test(s"$name content hash is pinned at sf0.001") {
+      assert(hashOf(name) == expected)
+    }
   }
 
-  test("kg_mentions content hash is pinned at sf0.001") {
-    assert(hashOf("kg_mentions") == "fd7a50e5c9b3f15de55487c5fae83f86")
-  }
-
-  // The remaining rows-only driver queries are all deterministic by
-  // construction (seeded hyperplanes/centroids, stub codec), so they get
-  // the same silent-drift protection: any semantic change must re-pin here.
-  test("q16_ann_lsh content hash is pinned at sf0.001") {
-    assert(hashOf("q16_ann_lsh") == "913a088ede732564dda9f326c519edf5")
-  }
-
-  test("q20_media_features content hash is pinned at sf0.001") {
-    assert(hashOf("q20_media_features") == "ed866b3fd7a839ee2d752e188fe9a583")
-  }
-
-  test("q22_embed_neardup_lsh content hash is pinned at sf0.001") {
-    assert(hashOf("q22_embed_neardup_lsh") == "50955f3bba590b9be138edc5ce27d7f6")
-  }
-
-  test("q23_ann_ivf content hash is pinned at sf0.001") {
-    assert(hashOf("q23_ann_ivf") == "d314385e12acc54b26759346f076619f")
+  test("every rows-only justification quotes the shared drift pin") {
+    for ((name, j) <- SparkEntry.rowsOnlyJustification)
+      assert(j("pinned_hash_sf0001") == SparkEntry.driftPins(name),
+        s"$name _verification.json hash diverged from driftPins")
   }
 
   test("kg queries leave no persistent RDDs behind (run-scoped caches)") {
