@@ -166,6 +166,39 @@ object SparkEntry {
       Linker.discoverTowns(s, corpus, bdict(s))
         .orderBy("district_id", "name")
     }),
+    "kg_towns_loop" -> ((s, dir) => {
+      // Canonicalization loop CLOSED (round 5; reference `ExtractTown.main`
+      // → `AddressPersister.importRegionTowns` → next trie build): discover
+      // town/village surface forms, grow the dictionary
+      // (`KgPipeline.growDict`), re-interpret the SAME corpus with the
+      // grown trie, and emit every row whose division now resolves a
+      // DISCOVERED region id — proof the second pass treats them as real
+      // Town/Village regions. Rows-only for the same reason as kg_mentions
+      // (trie + visitor interpretation); gated by DictLoopSpec conformance
+      // + the sf0.001 drift pin, recorded in its _verification.json.
+      import s.implicits._
+      val (corpus, _) = kgInputs(s, dir)
+      val b = bdict(s)
+      val b2 = KgPipeline.growDict(s, corpus, b)
+      val baseIds = b.value.regions.all.iterator.map(_.id).toSet
+      val newNames: Map[Long, String] = b2.value.regions.all.iterator
+        .filter(r => !baseIds.contains(r.id)).map(r => r.id -> r.name).toMap
+      val bNew = s.sparkContext.broadcast(newNames)
+      val df = Linker.interpretCorpus(s, corpus, b2)
+        .filter(a => bNew.value.contains(a.townId) ||
+          bNew.value.contains(a.villageId))
+        .map(a => (a.id, a.pid, a.cid, a.did, a.townId,
+          bNew.value.getOrElse(a.townId, null),
+          a.villageId, bNew.value.getOrElse(a.villageId, null)))
+        .toDF("doc_id", "pid", "cid", "did", "town_id", "town_name",
+          "village_id", "village_name")
+        .orderBy("doc_id")
+      // Materialize before dropping the per-call broadcasts (stash truncates
+      // lineage), so repeated invocations don't accumulate grown dicts.
+      val out = stash(s, df, "kg_towns_loop")
+      b2.destroy(); bNew.destroy()
+      out
+    }),
     "kg_adjacency" -> ((s, dir) => {
       KgPipeline.regionAdjacency(s, dict).orderBy("src", "dst")
     }),
@@ -1230,6 +1263,7 @@ object SparkEntry {
   val driftPins: Map[String, String] = Map(
     "kg_links" -> "88b87962f578cf28daa21f0248660ff0",
     "kg_mentions" -> "fd7a50e5c9b3f15de55487c5fae83f86",
+    "kg_towns_loop" -> "a7d9eab027739de4a446e24e298836bf",
     "q16_ann_lsh" -> "913a088ede732564dda9f326c519edf5",
     "q20_media_features" -> "ed866b3fd7a839ee2d752e188fe9a583",
     "q22_embed_neardup_lsh" -> "50955f3bba590b9be138edc5ce27d7f6",
@@ -1242,6 +1276,15 @@ object SparkEntry {
       "gates" -> ("InterpretGoldenSpec/KgPipelineSpec differential goldens; " +
         "DriftPinSpec sf0.001 content hash"),
       "pinned_hash_sf0001" -> driftPins("kg_mentions")),
+    "kg_towns_loop" -> Map(
+      "reason" -> ("second-pass trie interpretation with the grown " +
+        "dictionary (closed canonicalization loop) — rows-only for the " +
+        "same reason as kg_mentions: deep-most backtracking trie search + " +
+        "visitor arbitration is not SQL-expressible"),
+      "gates" -> ("DictLoopSpec conformance (discovery→merge→resolution, " +
+        "reference id scheme, Town term + boost in doc vectors); " +
+        "DriftPinSpec sf0.001 content hash"),
+      "pinned_hash_sf0001" -> driftPins("kg_towns_loop")),
     "q20_media_features" -> Map(
       "reason" -> ("stub codec feature floats (deterministic fake decode — " +
         "no media libs in-container); the integer-derivable metadata half " +

@@ -198,6 +198,27 @@ object KgPipeline {
     def unpersistAll(): Unit = cached.foreach(_.unpersist())
   }
 
+  /** Canonicalization feedback loop (the reference's fourth entry point,
+    * `ExtractTown.main` → `AddressPersister.importRegionTowns` → next
+    * `TermIndexBuilder.indexRegions`): discover novel town/village surface
+    * forms in `corpus`, merge them into the region tree, rebuild the trie,
+    * and return the grown broadcast dictionary. A second
+    * `Linker.interpretCorpus` / `detectMentions` pass with the returned dict
+    * resolves the discovered mentions as real Town/Village regions (term in
+    * the doc vector, town boost active in scoring).
+    *
+    * The `collect()` is bounded by construction: `townCandidates` is the
+    * DISTINCT (district, name) vocabulary — place names, not corpus rows —
+    * the same order of magnitude as the 47.7k-region dictionary this bundle
+    * already builds driver-side and broadcasts (reference: the whole
+    * discovery map lives in driver memory too, `ExtractTown.java`). */
+  def growDict(spark: SparkSession, corpus: Dataset[(Long, String)],
+      dict: Broadcast[Dict]): Broadcast[Dict] = {
+    val discovered = Linker.townCandidates(spark, corpus, dict)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    spark.sparkContext.broadcast(Dict.withDiscoveredTowns(dict.value, discovered))
+  }
+
   /** End-to-end: turns + historical corpus → KgRun(mentions, triples, hits).
     * topN per the reference query default.
     *

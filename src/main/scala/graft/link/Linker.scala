@@ -20,6 +20,60 @@ object Dict {
     val regions = Regions.loadDefault()
     new Dict(regions, new TermIndex(regions, Regions.IgnoreList))
   }
+
+  /** Close the reference's dictionary-growth loop (SURVEY.md §3.3 footnote):
+    * merge discovered town/village surface forms into the region tree and
+    * rebuild the trie, so the NEXT interpret pass resolves them as real
+    * Town/Village regions — the Spark-side analog of `ExtractTown.main` →
+    * `AddressPersister.importRegionTowns` inserting `bas_region` rows
+    * (`persist/AddressPersister.java:168-208`) that the next
+    * `TermIndexBuilder.indexRegions` picks up
+    * (`index/TermIndexBuilder.java:33-74`).
+    *
+    * Id assignment mirrors `initializeRegionId` exactly: start at
+    * `districtId*10000` and skip past any EXISTING child already in that
+    * range, then count up — so merged ids never collide with the base
+    * dictionary. Within a district, names are assigned in sorted order (the
+    * same documented determinism divergence as `Linker.discoverTowns`: the
+    * reference numbers by Map iteration order, which no two runs reproduce).
+    * Names not ending in 镇/乡/村 are dropped (reference `else continue`);
+    * districts unknown to the base tree are dropped (reference
+    * `parent==null` skip).
+    *
+    * Driver-side by design: `discovered` is the distinct (district, name)
+    * vocabulary — bounded by real-world place names (~10^5-10^6 entries at
+    * any corpus scale), the same order as the 47.7k-region base dictionary
+    * this bundle already broadcasts. */
+  def withDiscoveredTowns(base: Dict,
+      discovered: Seq[(Long, String)]): Dict = {
+    val regions = base.regions
+    val newRegions = discovered
+      .filter { case (_, n) => n != null && n.nonEmpty }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (did, rows) =>
+        if (regions.get(did) == null) Nil
+        else {
+          // initializeRegionId: base past existing children in the range.
+          var id = did * 10000L
+          regions.children(did).foreach(c => if (c.id >= id) id = c.id + 1)
+          rows.map(_._2).distinct.sorted.flatMap { name =>
+            val t = name.charAt(name.length - 1) match {
+              case '镇' | '乡' => graft.model.RegionTypes.Town
+              case '村'        => graft.model.RegionTypes.Village
+              case _           => 0
+            }
+            if (t == 0) None
+            else {
+              val r = graft.model.Region(id, did, name, "", t, "")
+              id += 1
+              Some(r)
+            }
+          }
+        }
+      }
+    val merged = new Regions(regions.all ++ newRegions)
+    new Dict(merged, new TermIndex(merged, Regions.IgnoreList))
+  }
 }
 
 /** Entity-linking stages, Spark-first:
@@ -78,6 +132,24 @@ object Linker {
             Some(DocAnalyser.analyse(id, pk, addr))
           }
         }
+      }
+    }
+  }
+
+  /** Interpret a corpus to full division rows (every input row, matched or
+    * not) — the second-pass surface of the dictionary-growth loop: after
+    * `Dict.withDiscoveredTowns` a re-interpret resolves discovered 镇/村
+    * mentions to their new Town/Village region ids. Narrow map, same shape
+    * as `buildDocs`. */
+  def interpretCorpus(spark: SparkSession, corpus: Dataset[(Long, String)],
+      dict: Broadcast[Dict]): Dataset[graft.model.InterpretedAddress] = {
+    import spark.implicits._
+    corpus.mapPartitions { it =>
+      val interp = dict.value.interpreter
+      val visitor = interp.newVisitor()
+      it.flatMap { case (id, text) =>
+        val addr = interp.interpret(text, visitor)
+        if (addr == null) None else Some(interp.toInterpreted(id, addr))
       }
     }
   }
