@@ -110,6 +110,53 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) =>
       scoped(s, dir, 5, "kg_triples")(r =>
         r.triples.toDF().orderBy("subj", "pred", "obj"))),
+    "q27_stream_link" -> ((s, dir) => {
+      // Streaming entity linking, DRIVER-VISIBLE (round 5): the sf turns as
+      // a bounded FILE stream (3 parquet files, maxFilesPerTrigger=1 → 3
+      // micro-batches) through `TranscriptStream.linkStream` — readStream +
+      // checkpointed foreachBatch + an idempotent overwrite-by-batchId
+      // parquet sink — then the materialized triples. The DuckDB oracle is
+      // the SAME recomputation as kg_triples from the batch stage tables,
+      // so CORRECTNESS checks stream == batch on an independent engine
+      // (bit-identity already pinned by PipelineExtrasSpec's linkStream
+      // test; this makes it part of the verified driver surface).
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val (corpus, turns) = kgInputs(s, dir)
+      val b = bdict(s)
+      val docs = Linker.buildDocs(s, Linker.dedupCorpus(s, corpus), b)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val idf = Linker.buildIdf(s, docs).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Fresh stream state per invocation (checkpoint offsets would
+        // otherwise mark the files done and skip the sink on a re-run).
+        val root = stashRoot.resolve("q27stream").toFile
+        def rm(p: java.io.File): Unit = {
+          val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete(); ()
+        }
+        rm(root)
+        val inDir = s"$root/in"; val outDir = s"$root/out"
+        turns.repartition(3).write.parquet(inDir)
+        val schema = org.apache.spark.sql.Encoders.product[graft.model.Turn].schema
+        val streamTurns = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .as[graft.model.Turn]
+        val q = graft.streaming.TranscriptStream.linkStream(
+            s, streamTurns, b, docs, idf, topN = 5, s"$root/ckpt") {
+          (triples, batchId) =>
+            // Idempotent sink: a replayed batch overwrites its own partition
+            // (the at-least-once → effective exactly-once upgrade the
+            // linkStream contract documents).
+            triples.toDF().write.mode("overwrite")
+              .parquet(s"$outDir/batch_id=$batchId")
+            ()
+        }
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(outDir)
+          .select("subj", "pred", "obj", "score", "partKey")
+          .orderBy("subj", "pred", "obj")
+      } finally { docs.unpersist(); idf.unpersist(); () }
+    }),
     "kg_links" -> ((s, dir) =>
       scoped(s, dir, 5, "kg_links")(r =>
         r.hits.toDF().withColumn("similarity", round(col("similarity"), 9))
@@ -485,6 +532,41 @@ object SparkEntry {
   private def sp(name: String): String =
     s"read_parquet('$stageDir/$name/*.parquet')"
 
+  /** Full triple-emission recompute from the mentions/hits stage tables —
+    * shared by kg_triples (batch) and q27_stream_link (streaming): the
+    * stream's materialized triples must equal the batch recomputation
+    * exactly, making stream==batch an independent-engine check. */
+  private def kgTriplesOracleSql: String =
+    s"""WITH m AS (SELECT * FROM ${sp("mentions")}),
+       h AS (SELECT * FROM ${sp("hits5")}),
+       t AS (
+         SELECT subj, 'hasProvince' AS pred,
+           'region:' || CAST(pid AS VARCHAR) AS obj, 0.0 AS score, partKey
+         FROM m WHERE pid > 0
+         UNION ALL SELECT subj, 'hasCity', 'region:' || CAST(cid AS VARCHAR),
+           0.0, partKey FROM m WHERE cid > 0
+         UNION ALL SELECT subj, 'hasDistrict', 'region:' || CAST(did AS VARCHAR),
+           0.0, partKey FROM m WHERE did > 0
+         UNION ALL SELECT subj, 'hasStreet', 'region:' || CAST(street_id AS VARCHAR),
+           0.0, partKey FROM m WHERE street_id > 0
+         UNION ALL SELECT subj, 'hasTown', 'region:' || CAST(town_id AS VARCHAR),
+           0.0, partKey FROM m WHERE town_id > 0
+         UNION ALL SELECT subj, 'hasVillage', 'region:' || CAST(village_id AS VARCHAR),
+           0.0, partKey FROM m WHERE village_id > 0
+         UNION ALL SELECT subj, 'hasRoad', road, 0.0, partKey
+           FROM m WHERE length(road) > 0
+         UNION ALL SELECT subj, 'hasRoadNum', road_num, 0.0, partKey
+           FROM m WHERE length(road_num) > 0
+         UNION ALL SELECT subj, 'hasBuildingNum', building_num, 0.0, partKey
+           FROM m WHERE length(building_num) > 0
+         UNION ALL SELECT subj, 'residualText', residual, 0.0, partKey
+           FROM m WHERE length(residual) > 0
+         UNION ALL SELECT m.subj, 'linkedTo',
+           'addr:' || CAST(h.docId AS VARCHAR), h.similarity, m.partKey
+         FROM h JOIN m ON h.queryId = m.queryId)
+       SELECT subj, pred, obj, score, partKey FROM t
+       ORDER BY subj, pred, obj"""
+
   /** Write every stage table the kg oracles reference. One pipeline pass. */
   def materializeStage(s: SparkSession, dir: String): Unit = {
     import s.implicits._
@@ -602,36 +684,10 @@ object SparkEntry {
       s"""SELECT h.queryId, h.docId, h.rank, h.similarity, c.docText
          FROM ${sp("hits3")} h JOIN ${sp("corpus")} c ON h.docId = c.docId
          ORDER BY h.queryId, h.rank""",
-    "kg_triples" ->
-      s"""WITH m AS (SELECT * FROM ${sp("mentions")}),
-         h AS (SELECT * FROM ${sp("hits5")}),
-         t AS (
-           SELECT subj, 'hasProvince' AS pred,
-             'region:' || CAST(pid AS VARCHAR) AS obj, 0.0 AS score, partKey
-           FROM m WHERE pid > 0
-           UNION ALL SELECT subj, 'hasCity', 'region:' || CAST(cid AS VARCHAR),
-             0.0, partKey FROM m WHERE cid > 0
-           UNION ALL SELECT subj, 'hasDistrict', 'region:' || CAST(did AS VARCHAR),
-             0.0, partKey FROM m WHERE did > 0
-           UNION ALL SELECT subj, 'hasStreet', 'region:' || CAST(street_id AS VARCHAR),
-             0.0, partKey FROM m WHERE street_id > 0
-           UNION ALL SELECT subj, 'hasTown', 'region:' || CAST(town_id AS VARCHAR),
-             0.0, partKey FROM m WHERE town_id > 0
-           UNION ALL SELECT subj, 'hasVillage', 'region:' || CAST(village_id AS VARCHAR),
-             0.0, partKey FROM m WHERE village_id > 0
-           UNION ALL SELECT subj, 'hasRoad', road, 0.0, partKey
-             FROM m WHERE length(road) > 0
-           UNION ALL SELECT subj, 'hasRoadNum', road_num, 0.0, partKey
-             FROM m WHERE length(road_num) > 0
-           UNION ALL SELECT subj, 'hasBuildingNum', building_num, 0.0, partKey
-             FROM m WHERE length(building_num) > 0
-           UNION ALL SELECT subj, 'residualText', residual, 0.0, partKey
-             FROM m WHERE length(residual) > 0
-           UNION ALL SELECT m.subj, 'linkedTo',
-             'addr:' || CAST(h.docId AS VARCHAR), h.similarity, m.partKey
-           FROM h JOIN m ON h.queryId = m.queryId)
-         SELECT subj, pred, obj, score, partKey FROM t
-         ORDER BY subj, pred, obj""",
+    "kg_triples" -> kgTriplesOracleSql,
+    // Stream == batch on an independent engine: the streaming query's
+    // materialized triples must equal the batch recomputation exactly.
+    "q27_stream_link" -> kgTriplesOracleSql,
     // FULL link recompute (round 3): the entire linkTopK semantics —
     // candidate generation (docs sharing ≥1 term text within the query's
     // partKey; exact, the same argument as `Linker.candidatesOf`), per-term

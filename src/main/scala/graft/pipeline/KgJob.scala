@@ -35,19 +35,40 @@ object KgJob {
     val idf = runner.stage[IdfRow]("idf") {
       Linker.buildIdf(spark, docs)
     }
-    val docsIdf = runner.stage[DocVec]("docs_idf") {
-      Linker.attachIdf(spark, docs, idf)
-    }
     val mentions = runner.stage[MentionDoc]("mentions") {
       KgPipeline.stampQueryIdf(spark,
         KgPipeline.detectMentions(spark, turnsPart, dict), idf)
     }
+    // FUSED idf attach (round 5, unified with KgPipeline.run): the link
+    // stage reads the materialized docs + idf tables directly and stamps doc
+    // idfs inside the scoring cells — the standalone docs_idf cogroup
+    // shuffle is out of the checkpointed DAG, and batch/checkpointed/
+    // streaming all share ONE link semantics (bit-identity gated by
+    // KgPipelineSpec's fused==prestamped test; resumed==clean by
+    // PipelineExtrasSpec).
     val hits = runner.stage[LinkHit]("hits") {
-      Linker.linkTopKAuto(spark, mentions.map(_.doc), docsIdf, topN)
+      Linker.linkTopKAuto(spark, mentions.map(_.doc), docs, topN,
+        idf = Some(idf))
     }
     runner.stage[Triple]("triples") {
       KgPipeline.mentionTriples(spark, mentions, dict)
         .union(KgPipeline.linkTriples(spark, mentions, hits))
+    }
+  }
+
+  /** On-demand idf-stamped docs stage for explain/stage consumers
+    * (`Linker.explainHits`, the Verify stage materializer). NOT part of the
+    * `run` DAG: the link stage stamps idfs in-cell (fused), so the cogroup
+    * here only runs when a consumer actually asks for the table — and then
+    * checkpoints/resumes like any other stage. */
+  def docsIdfStage(spark: SparkSession, root: String, runId: String)
+      : Dataset[DocVec] = {
+    import spark.implicits._
+    val runner = StageRunner(spark, root, runId)
+    runner.stage[DocVec]("docs_idf") {
+      Linker.attachIdf(spark,
+        spark.read.parquet(s"$root/docs").as[DocVec],
+        spark.read.parquet(s"$root/idf").as[IdfRow])
     }
   }
 }
