@@ -249,6 +249,62 @@ object SparkEntry {
     "kg_adjacency" -> ((s, dir) => {
       KgPipeline.regionAdjacency(s, dict).orderBy("src", "dst")
     }),
+    "kg_mentions_check" -> ((s, dir) => {
+      // Partial property-oracle for the rows-only kg_mentions surface
+      // (round 5): structural invariants DuckDB CAN recompute independently
+      // from the stage tables — every mention's source turn exists, the
+      // extracted road is a substring of that turn's text, the residual
+      // never outgrows the turn, and the division ids form consistent
+      // parent edges in the region tree. Exact mention VALUES stay
+      // rows-only (trie interpretation is not SQL-expressible), but this
+      // aggregate is a hard cross-engine check; MentionsCheckSpec pins
+      // every violation count at zero.
+      import s.implicits._
+      val (_, turns) = kgInputs(s, dir)
+      val m = KgPipeline.detectMentions(s, turns, bdict(s))
+        .map(md => (s"${md.convId}#${md.turnIdx}",
+          md.addr.pid, md.addr.cid, md.addr.did, md.addr.streetId,
+          md.addr.townId, md.addr.villageId,
+          Option(md.addr.road).getOrElse(""),
+          Option(md.addr.text).getOrElse("")))
+        .toDF("subj", "pid", "cid", "did", "street_id", "town_id",
+          "village_id", "road", "residual")
+      val turnsDf = turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.text))
+        .toDF("subj", "text")
+      val reg = s.createDataset(dict.regions.all.map(r => (r.id, r.parentId)))
+        .toDF("rid", "rparent")
+      def parentOf(idCol: String, outCol: String) =
+        reg.select(col("rid").as(idCol), col("rparent").as(outCol))
+      val j = m.join(turnsDf, Seq("subj"), "left")
+        .join(parentOf("cid", "cid_parent"), Seq("cid"), "left")
+        .join(parentOf("did", "did_parent"), Seq("did"), "left")
+        .join(parentOf("street_id", "street_parent"), Seq("street_id"), "left")
+        .join(parentOf("town_id", "town_parent"), Seq("town_id"), "left")
+        .join(parentOf("village_id", "village_parent"), Seq("village_id"), "left")
+      def viol(c: org.apache.spark.sql.Column, name: String) =
+        sum(when(c, 1L).otherwise(0L)).as(name)
+      j.agg(
+        count(lit(1)).as("n_mentions"),
+        viol(col("text").isNull, "n_orphan_turn"),
+        viol(col("road") =!= "" && !col("text").contains(col("road")),
+          "n_road_not_in_turn"),
+        viol(length(col("residual")) > length(col("text")),
+          "n_residual_too_long"),
+        viol(col("cid") > 0 &&
+          !(col("cid") === col("pid") || col("cid_parent") === col("pid")),
+          "n_bad_city_edge"),
+        viol(col("did") > 0 &&
+          !(col("did") === col("cid") || col("did_parent") === col("cid")),
+          "n_bad_district_edge"),
+        viol(col("street_id") > 0 && col("street_parent") =!= col("did"),
+          "n_bad_street_edge"),
+        viol(col("town_id") > 0 && col("town_parent") =!= col("did"),
+          "n_bad_town_edge"),
+        viol(col("village_id") > 0 &&
+          !(col("village_parent") === col("did") ||
+            col("village_parent") === col("town_id")),
+          "n_bad_village_edge"))
+    }),
     "kg_comention" -> ((s, dir) =>
       // Materialized entity-adjacency table from actual links: top-1-linked
       // addresses co-mentioned in the same conversation.
@@ -447,14 +503,26 @@ object SparkEntry {
     }),
     // ---------------- multimodal plumbing (synthetic media) ----------------
     "q20_media_features" -> ((s, dir) => {
+      // FULLY ORACLED since round 5: the stub codec's hash chain moved to
+      // mod-p arithmetic with exactly-representable (dyadic) feature
+      // contributions, so DuckDB recomputes the features from the raw
+      // payload bytes (media_bytes stage table) via modular-inverse prefix
+      // sums — the feature floats were the last unverified numeric surface.
       val n = scaleOf(dir)._1.toLong // scale media count with sf
       val media = MultimodalOps.synthesize(s, n, seed = 11)
       import s.implicits._
       MultimodalOps.extractFeatures(s, media, MultimodalOps.StubCodec,
           dim = 16, frameEvery = 2)
+        // Raw doubles, NO decimal rounding: the values are bit-reproducible
+        // (exact dyadic sums + one shared division), while decimal rounding
+        // would introduce systematic half-way ties — dyadic rationals have
+        // TERMINATING decimal expansions, so a digit landing exactly on 5
+        // is common, and JVM floor(x+0.5) vs DuckDB half-away disagree on
+        // negatives (hit at sf0.01 row 59). The driver compares floats with
+        // tolerance; exact values need no rounding crutch.
         .map(f => (f.media_id, f.modality, f.n_frames_sampled,
-          math.round(f.feature.map(v => v.toDouble * v).sum * 1000.0) / 1000.0))
-        .toDF("media_id", "modality", "n_frames", "feat_norm2")
+          f.feature.map(v => v * v).sum, f.feature(0)))
+        .toDF("media_id", "modality", "n_frames", "feat_norm2", "feat0")
         .orderBy("media_id")
     }),
     "q25_media_resize" -> ((s, dir) => {
@@ -589,6 +657,10 @@ object SparkEntry {
     w(Linker.townCandidates(s, corpus, b), "town_candidates")
     w(s.createDataset(dict.regions.all.map(r => (r.id, r.parentId)))
       .toDF("id", "parentId"), "regions")
+    // Raw turn text keyed like mention subjects — the kg_mentions_check
+    // oracle verifies mention rows against their source turns.
+    w(turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.text))
+      .toDF("subj", "text"), "turns")
 
     val r = KgPipeline.run(s, turns, corpus, b, 5)
     w(r.hits.toDF(), "hits5")
@@ -647,6 +719,42 @@ object SparkEntry {
     w(MultimodalOps.synthesize(s, n.toLong, seed = 11)
       .toDF().select(col("media_id"), col("modality"), col("width"),
         col("height"), col("content_len")), "media_meta")
+
+    // q20 byte-level stage tables (round 5): the RAW payload bytes of every
+    // sampled frame, plus a mod-p power table — DuckDB recomputes the
+    // codec's hash chain (h = (h*31 + b) mod p) for EVERY byte position via
+    // modular-inverse prefix sums (h_i = (H0*31^(i+1) + 31^i * Σ b_j*31^(-j))
+    // mod p), then the features, the frame average, and the norm.
+    locally {
+      val P = MultimodalOps.StubCodec.HashP
+      def modpow(b: Long, e: Long): Long = {
+        var r = 1L; var bb = b % P; var ee = e
+        while (ee > 0) {
+          if ((ee & 1L) == 1L) r = r * bb % P
+          bb = bb * bb % P; ee >>= 1
+        }
+        r
+      }
+      val inv31 = modpow(31L, P - 2)
+      w(s.createDataset((0 to 260).map(j =>
+          (j, modpow(31L, j.toLong), modpow(inv31, j.toLong))))
+        .toDF("j", "pow", "ipow"), "pow31")
+      w(MultimodalOps.synthesize(s, n.toLong, seed = 11)
+        .flatMap { row =>
+          val frames =
+            if (row.modality == "video")
+              MultimodalOps.StubCodec.sampleFrames(row.content, 2)
+            else Array(row.content)
+          frames.iterator.zipWithIndex.flatMap { case (fr, fi) =>
+            fr.iterator.zipWithIndex.map { case (b, i) =>
+              (row.media_id, row.modality, fi, i, (b & 0xff).toInt,
+                frames.length)
+            }
+          }
+        }
+        .toDF("media_id", "modality", "frame_idx", "pos", "b", "n_frames"),
+        "media_bytes")
+    }
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -684,6 +792,38 @@ object SparkEntry {
       s"""SELECT h.queryId, h.docId, h.rank, h.similarity, c.docText
          FROM ${sp("hits3")} h JOIN ${sp("corpus")} c ON h.docId = c.docId
          ORDER BY h.queryId, h.rank""",
+    "kg_mentions_check" ->
+      s"""WITH j AS (
+           SELECT m.*, t.text,
+             rc.parentId AS cid_parent, rd.parentId AS did_parent,
+             rs.parentId AS street_parent, rt.parentId AS town_parent,
+             rv.parentId AS village_parent
+           FROM ${sp("mentions")} m
+           LEFT JOIN ${sp("turns")} t ON t.subj = m.subj
+           LEFT JOIN ${sp("regions")} rc ON rc.id = m.cid
+           LEFT JOIN ${sp("regions")} rd ON rd.id = m.did
+           LEFT JOIN ${sp("regions")} rs ON rs.id = m.street_id
+           LEFT JOIN ${sp("regions")} rt ON rt.id = m.town_id
+           LEFT JOIN ${sp("regions")} rv ON rv.id = m.village_id)
+         SELECT count(*) AS n_mentions,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_turn,
+           CAST(sum(CASE WHEN road <> '' AND NOT contains(text, road)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_road_not_in_turn,
+           CAST(sum(CASE WHEN length(residual) > length(text)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_too_long,
+           CAST(sum(CASE WHEN cid > 0 AND NOT (cid = pid OR cid_parent = pid)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_city_edge,
+           CAST(sum(CASE WHEN did > 0 AND NOT (did = cid OR did_parent = cid)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_district_edge,
+           CAST(sum(CASE WHEN street_id > 0 AND street_parent <> did
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_street_edge,
+           CAST(sum(CASE WHEN town_id > 0 AND town_parent <> did
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_town_edge,
+           CAST(sum(CASE WHEN village_id > 0 AND
+             NOT (village_parent = did OR village_parent = town_id)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_village_edge
+         FROM j""",
     "kg_triples" -> kgTriplesOracleSql,
     // Stream == batch on an independent engine: the streaming query's
     // materialized triples must equal the batch recomputation exactly.
@@ -1158,6 +1298,38 @@ object SparkEntry {
     // pass-through predicate, bounding-box scale (guarded denominators — the
     // pass branch covers width/height = 0), trunc-to-int dims floored at 1,
     // stub length = max(trunc(len · toW·toH/(w·h)), 1).
+    // The stub codec's FULL numeric surface recomputed from raw payload
+    // bytes (round 5): per-byte hash chain h_i = (h_{i-1}*31 + b_i) mod p
+    // rewritten with modular-inverse prefix sums (window-summable), then
+    // the dyadic feature contributions, one frame-average division, and
+    // the norm — cross-engine safe because every pre-division sum is exact.
+    "q20_media_features" -> {
+      val P = graft.ops.MultimodalOps.StubCodec.HashP
+      val H0 = graft.ops.MultimodalOps.StubCodec.HashSeed
+      s"""WITH bt AS (SELECT * FROM ${sp("media_bytes")}),
+         pw AS (SELECT * FROM ${sp("pow31")}),
+         c AS (
+           SELECT bt.media_id, bt.modality, bt.frame_idx, bt.pos, bt.n_frames,
+             sum(bt.b * pw.ipow) OVER (PARTITION BY bt.media_id, bt.frame_idx
+               ORDER BY bt.pos ROWS UNBOUNDED PRECEDING) AS cum
+           FROM bt JOIN pw ON pw.j = bt.pos),
+         h AS (
+           SELECT media_id, modality, pos, n_frames,
+             (($H0 * p1.pow) % $P + (p2.pow * (c.cum % $P)) % $P) % $P AS hi
+           FROM c JOIN pw p1 ON p1.j = c.pos + 1
+           JOIN pw p2 ON p2.j = c.pos),
+         f AS (
+           SELECT media_id, any_value(modality) AS modality, pos % 16 AS d,
+             CAST(sum((hi % 65536) / 65536.0 - 0.5) AS DOUBLE)
+               / any_value(n_frames) AS v,
+             any_value(n_frames) AS n_frames
+           FROM h GROUP BY media_id, pos % 16)
+         SELECT media_id, any_value(modality) AS modality,
+           any_value(n_frames) AS n_frames,
+           sum(v * v) AS feat_norm2,
+           max(CASE WHEN d = 0 THEN v END) AS feat0
+         FROM f GROUP BY media_id ORDER BY media_id"""
+    },
     "q25_media_resize" ->
       s"""WITH m AS (SELECT * FROM ${sp("media_meta")}),
          r AS (
@@ -1321,7 +1493,6 @@ object SparkEntry {
     "kg_mentions" -> "fd7a50e5c9b3f15de55487c5fae83f86",
     "kg_towns_loop" -> "a7d9eab027739de4a446e24e298836bf",
     "q16_ann_lsh" -> "913a088ede732564dda9f326c519edf5",
-    "q20_media_features" -> "ed866b3fd7a839ee2d752e188fe9a583",
     "q22_embed_neardup_lsh" -> "50955f3bba590b9be138edc5ce27d7f6",
     "q23_ann_ivf" -> "d314385e12acc54b26759346f076619f")
 
@@ -1330,7 +1501,11 @@ object SparkEntry {
       "reason" -> ("trie deep-most backtracking search + 5-rule visitor " +
         "arbitration over the 47k-region dictionary is not SQL-expressible"),
       "gates" -> ("InterpretGoldenSpec/KgPipelineSpec differential goldens; " +
-        "DriftPinSpec sf0.001 content hash"),
+        "DriftPinSpec sf0.001 content hash; kg_mentions_check PARTIAL " +
+        "ORACLE (DuckDB-verified structural invariants: source-turn " +
+        "existence, road-substring/residual-length derivability, division " +
+        "edge consistency — violation counts pinned to zero by " +
+        "MentionsCheckSpec)"),
       "pinned_hash_sf0001" -> driftPins("kg_mentions")),
     "kg_towns_loop" -> Map(
       "reason" -> ("second-pass trie interpretation with the grown " +
@@ -1340,14 +1515,10 @@ object SparkEntry {
       "gates" -> ("DictLoopSpec conformance (discovery→merge→resolution, " +
         "reference id scheme, Town term + boost in doc vectors); " +
         "DriftPinSpec sf0.001 content hash"),
-      "pinned_hash_sf0001" -> driftPins("kg_towns_loop")),
-    "q20_media_features" -> Map(
-      "reason" -> ("stub codec feature floats (deterministic fake decode — " +
-        "no media libs in-container); the integer-derivable metadata half " +
-        "is split into the oracled q26_media_frames"),
-      "gates" -> ("PlanAndMultimodalSpec determinism/schema/blob-pruning " +
-        "gates; DriftPinSpec sf0.001 content hash"),
-      "pinned_hash_sf0001" -> driftPins("q20_media_features")))
+      "pinned_hash_sf0001" -> driftPins("kg_towns_loop")))
+  // q20_media_features left this map in round 5: the portable mod-p stub
+  // codec made its feature floats fully DuckDB-recomputable (media_bytes +
+  // pow31 stage tables), so it now has a real oracle.
 
   // ---- generated oracle SQL for the hash-built dedup ops -------------------
   // The hashes are engine-portable by construction (base-31/131 polynomials

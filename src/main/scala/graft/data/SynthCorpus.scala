@@ -242,4 +242,52 @@ object SynthCorpus {
       it.flatMap(c => convTurns(regions, anchors, c, seed))
     }
   }
+
+  // ---- skew-stress generators (bench GRAFT_SKEW mode; round 5) -------------
+  // The power-law shape the auto-router's broadcast route exists for
+  // (SURVEY §7.4-4: one 北京市-sized district ≫ rural counties): the FIRST
+  // anchor district holds ~hotTenths/10 of the historical corpus, while the
+  // query stream only rarely touches it — hot-but-NARROW, so the router
+  // must answer those queries WITHOUT shuffling the district's doc mass.
+
+  /** Corpus with district 0 drawing `hotTenths`/10 of rows (rest uniform
+    * over the other districts). `hotTenths = 3` reproduces the standard
+    * generator's skew. */
+  def corpusDSSkewed(spark: org.apache.spark.sql.SparkSession,
+      bdict: org.apache.spark.broadcast.Broadcast[graft.link.Dict],
+      n: Long, nDistricts: Int, seed: Long, hotTenths: Int)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      val regions = bdict.value.regions
+      val anchors = pickAnchors(regions, nDistricts)
+      it.map { i =>
+        val rnd = new Random(mix(seed, i))
+        val idx =
+          if (anchors.length > 1 && rnd.nextInt(10) < hotTenths) 0
+          else 1 + rnd.nextInt(math.max(1, anchors.length - 1))
+        (i, address(regions, anchors(idx), rnd))
+      }
+    }
+  }
+
+  /** Transcripts whose mention anchors EXCLUDE the hot district except for
+    * every `hotConvEvery`-th conversation — keeps the hot district's query
+    * count small (broadcast-route eligible) while the rest of the stream
+    * stays busy. */
+  def transcriptsDSSkewed(spark: org.apache.spark.sql.SparkSession,
+      bdict: org.apache.spark.broadcast.Broadcast[graft.link.Dict],
+      nConvs: Long, nDistricts: Int, seed: Long, hotConvEvery: Long)
+      : org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    spark.range(nConvs).mapPartitions { it =>
+      val regions = bdict.value.regions
+      val anchors = pickAnchors(regions, nDistricts)
+      val cold = if (anchors.length > 1) anchors.drop(1) else anchors
+      it.flatMap { c =>
+        val pool = if (c % hotConvEvery == 0) anchors else cold
+        convTurns(regions, pool, c, seed)
+      }
+    }
+  }
 }

@@ -383,6 +383,87 @@ object Linker {
     }
   }
 
+  /** Both sides' per-partKey (query, doc) counts in ONE job (fixed per-job
+    * overhead is the measured scaling bound on this box — don't pay it
+    * twice). Driver-sized result: one row per district. */
+  def countStats(spark: SparkSession, queries: Dataset[DocVec],
+      docs: Dataset[DocVec]): Array[(String, Long, Long)] = {
+    import spark.implicits._
+    queries.map(q => (q.partKey, 1L, 0L))
+      .union(docs.map(d => (d.partKey, 0L, 1L)))
+      .groupByKey(_._1)
+      .mapGroups { (pk, it) =>
+        var q = 0L; var d = 0L
+        it.foreach { r => q += r._2; d += r._3 }
+        (pk, q, d)
+      }.collect()
+  }
+
+  /** The auto-router's decision, exposed for inspection (the skew-stress
+    * bench reports routes and cell counts from the SAME planner the link
+    * executes). */
+  final case class RoutePlan(qCounts: Map[String, Long],
+      dCounts: Map[String, Long], bcastPks: Set[String],
+      shufflePks: Set[String], knobs: Map[String, CellKnobs]) {
+    /** Total candidate pair work q·d across queried districts. */
+    def pairWork: Long = qCounts.iterator
+      .map { case (pk, q) => q * dCounts.getOrElse(pk, 0L) }.sum
+    def shuffleCells: Long = knobs.valuesIterator
+      .map(k => k.qBuckets.toLong * k.dBuckets).sum
+  }
+
+  /** Pure route planning from counted stats — extracted from `linkTopKAuto`
+    * so the decision is inspectable; the link path calls exactly this. */
+  def planRoutes(stats: Array[(String, Long, Long)], parallelism: Int,
+      targetPairsPerCell: Long = 1L << 22, maxDocsPerCell: Int = 1 << 16,
+      maxQBuckets: Int = 256, bcastQMax: Long = 512,
+      bcastTotalMax: Long = 1L << 17): RoutePlan = {
+    val qCounts = stats.iterator.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
+    val dCounts = stats.iterator.map(s => s._1 -> s._3).toMap
+
+    // Broadcast route: narrow-query/huge-doc partitions, ordered by doc
+    // count (largest shuffle saving first), under a TOTAL driver-collect
+    // budget — with many qualifying districts the route must not collect
+    // unbounded query rows; overflow districts stay on the shuffle path.
+    var bcastBudget = bcastTotalMax
+    val bcastPks = qCounts.keysIterator
+      .filter { pk =>
+        qCounts(pk) <= bcastQMax && dCounts.getOrElse(pk, 0L) >= maxDocsPerCell
+      }
+      .toSeq.sortBy(pk => (-dCounts(pk), pk))
+      .filter { pk => // not takeWhile: a later, smaller district may still fit
+        val q = qCounts(pk)
+        if (q <= bcastBudget) { bcastBudget -= q; true } else false
+      }.toSet
+    val shufflePks = qCounts.keySet -- bcastPks
+
+    // Parallelism floor: when total work is far below cluster capacity ×
+    // target, shrink the per-cell target so the cluster still fills (the
+    // work-based split alone would give one cell per district at small
+    // scale). At scale totalWork dominates and the configured target wins.
+    val totalWork = shufflePks.iterator
+      .map(pk => qCounts(pk) * dCounts.getOrElse(pk, 0L)).sum
+    val para = math.max(1, parallelism)
+    val effTarget = math.max(1L,
+      math.min(targetPairsPerCell, totalWork / (3L * para)))
+
+    val knobs = shufflePks.iterator.flatMap { pk =>
+      val q = qCounts(pk)
+      val d = dCounts.getOrElse(pk, 0L)
+      if (d == 0) None
+      else {
+        val work = q * d
+        val cells = math.max(1L, (work + effTarget - 1) / effTarget)
+        val g = math.max(1L, math.min(math.min(q, maxQBuckets.toLong),
+          math.round(math.sqrt(cells.toDouble * q / d)))).toInt
+        val dbWork = (cells + g - 1) / g
+        val dbMem = (d + maxDocsPerCell - 1) / maxDocsPerCell
+        Some(pk -> CellKnobs(g, math.max(dbWork, dbMem).toInt))
+      }
+    }.toMap
+    RoutePlan(qCounts, dCounts, bcastPks, shufflePks, knobs)
+  }
+
   /** Self-tuning linkTopK (the 100×-survival path): derives per-partKey cell
     * knobs from COUNTED stats instead of a human-set global, then routes
     * extreme partitions to the broadcast variant. Output is bit-identical to
@@ -409,59 +490,13 @@ object Linker {
       bcastTotalMax: Long = 1L << 17,
       idf: Option[Dataset[graft.model.IdfRow]] = None): Dataset[LinkHit] = {
     import spark.implicits._
-    // Both sides' per-partKey counts in ONE job (fixed per-job overhead is
-    // the measured scaling bound on this box — don't pay it twice).
-    val stats = queries.map(q => (q.partKey, 1L, 0L))
-      .union(docs.map(d => (d.partKey, 0L, 1L)))
-      .groupByKey(_._1)
-      .mapGroups { (pk, it) =>
-        var q = 0L; var d = 0L
-        it.foreach { r => q += r._2; d += r._3 }
-        (pk, q, d)
-      }.collect()
-    val qCounts = stats.iterator.filter(_._2 > 0).map(s => s._1 -> s._2).toMap
-    val dCounts = stats.iterator.map(s => s._1 -> s._3).toMap
-
-    // Broadcast route: narrow-query/huge-doc partitions, ordered by doc
-    // count (largest shuffle saving first), under a TOTAL driver-collect
-    // budget — with many qualifying districts the route must not collect
-    // unbounded query rows; overflow districts stay on the shuffle path.
-    var bcastBudget = bcastTotalMax
-    val bcastPks = qCounts.keysIterator
-      .filter { pk =>
-        qCounts(pk) <= bcastQMax && dCounts.getOrElse(pk, 0L) >= maxDocsPerCell
-      }
-      .toSeq.sortBy(pk => (-dCounts(pk), pk))
-      .filter { pk => // not takeWhile: a later, smaller district may still fit
-        val q = qCounts(pk)
-        if (q <= bcastBudget) { bcastBudget -= q; true } else false
-      }.toSet
-    val shufflePks = qCounts.keySet -- bcastPks
-
-    // Parallelism floor: when total work is far below cluster capacity ×
-    // target, shrink the per-cell target so the cluster still fills (the
-    // work-based split alone would give one cell per district at small
-    // scale). At scale totalWork dominates and the configured target wins.
-    val totalWork = shufflePks.iterator
-      .map(pk => qCounts(pk) * dCounts.getOrElse(pk, 0L)).sum
-    val para = math.max(1, spark.sparkContext.defaultParallelism)
-    val effTarget = math.max(1L,
-      math.min(targetPairsPerCell, totalWork / (3L * para)))
-
-    val knobs = shufflePks.iterator.flatMap { pk =>
-      val q = qCounts(pk)
-      val d = dCounts.getOrElse(pk, 0L)
-      if (d == 0) None
-      else {
-        val work = q * d
-        val cells = math.max(1L, (work + effTarget - 1) / effTarget)
-        val g = math.max(1L, math.min(math.min(q, maxQBuckets.toLong),
-          math.round(math.sqrt(cells.toDouble * q / d)))).toInt
-        val dbWork = (cells + g - 1) / g
-        val dbMem = (d + maxDocsPerCell - 1) / maxDocsPerCell
-        Some(pk -> CellKnobs(g, math.max(dbWork, dbMem).toInt))
-      }
-    }.toMap
+    val plan = planRoutes(countStats(spark, queries, docs),
+      spark.sparkContext.defaultParallelism, targetPairsPerCell,
+      maxDocsPerCell, maxQBuckets, bcastQMax, bcastTotalMax)
+    val qCounts = plan.qCounts
+    val bcastPks = plan.bcastPks
+    val shufflePks = plan.shufflePks
+    val knobs = plan.knobs
 
     val bShuffle = spark.sparkContext.broadcast(shufflePks)
     val restHits = linkTopK(spark,

@@ -33,7 +33,7 @@ object MultimodalOps {
   final case class MediaFeatures(
       media_id: Long,
       modality: String,
-      feature: Array[Float],
+      feature: Array[Double],
       n_frames_sampled: Int,
       decode_ms: Long
   )
@@ -43,7 +43,7 @@ object MultimodalOps {
     * byte window. Replace with a real decoder in deployment — the pipeline
     * contract (batch-in/batch-out, one instance per partition) is unchanged. */
   trait Codec extends Serializable {
-    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float]
+    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Double]
     def sampleFrames(content: Array[Byte], everyN: Int): Array[Array[Byte]]
     /** Re-encode the payload at (w, h). The stub scales the byte budget
       * with the pixel ratio (a real codec decodes, scales, re-encodes —
@@ -53,13 +53,22 @@ object MultimodalOps {
   }
 
   object StubCodec extends Codec {
-    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L
+    /** Portable hash chain (round 5, like q9's minhash params): mod-p
+      * arithmetic instead of i64 wraparound, so an independent engine can
+      * recompute the chain without Java overflow semantics; feature
+      * contributions are dyadic rationals (k/65536 - 0.5) whose double sums
+      * are EXACT in any accumulation order — the q20 oracle recomputes the
+      * features from the raw payload bytes in DuckDB via modular-inverse
+      * prefix sums. */
+    val HashP: Long = 2147483647L // 2^31 - 1 (prime)
+    val HashSeed: Long = 1125899906842597L % HashP
+    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Double] = {
+      val out = new Array[Double](dim)
+      var h = HashSeed
       var i = 0
       while (i < content.length) {
-        h = h * 31 + content(i)
-        out(i % dim) += ((h >>> 16) & 0xffff) / 65536.0f - 0.5f
+        h = (h * 31 + (content(i) & 0xff)) % HashP
+        out(i % dim) += (h % 65536L) / 65536.0 - 0.5
         i += 1
       }
       out
@@ -117,12 +126,18 @@ object MultimodalOps {
           val frames =
             if (row.modality == "video") codec.sampleFrames(row.content, frameEvery)
             else Array(row.content)
-          val feat = new Array[Float](dim)
+          val feat = new Array[Double](dim)
           frames.foreach { fr =>
             val f = codec.decodeToFeatures(fr, dim)
             var j = 0
-            while (j < dim) { feat(j) += f(j) / frames.length; j += 1 }
+            while (j < dim) { feat(j) += f(j); j += 1 }
           }
+          // Sum-then-ONE-divide (round 5): per-frame contributions are
+          // exactly representable, so the sum is order-independent and the
+          // single division is the only rounding step — bit-reproducible by
+          // the DuckDB oracle from the same payload bytes.
+          var j = 0
+          while (j < dim) { feat(j) /= frames.length; j += 1 }
           MediaFeatures(row.media_id, row.modality, feat, frames.length,
             (System.nanoTime() - t0) / 1000000L)
         }
