@@ -274,7 +274,16 @@ object Bench {
          |directly comparable to pre-round-3 figures that timed `count()`
          |alone.
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH.md"), report)
+    // Preserve the skew-stress section (written by the GRAFT_SKEW mode,
+    // which the driver's per-round bench does not run) across rewrites.
+    val benchPath = Paths.get("BENCH.md")
+    val skewSection =
+      if (Files.exists(benchPath)) {
+        val old = Files.readString(benchPath)
+        val cut = old.indexOf("\n## Skew stress")
+        if (cut >= 0) old.substring(cut) else ""
+      } else ""
+    Files.writeString(benchPath, report + skewSection)
   }
 
   // ---- skew stress (GRAFT_SKEW=1; round-5 ask #5) ---------------------------
