@@ -294,7 +294,8 @@ object Linker {
       docs: Dataset[DocVec], topN: Int, qBuckets: Int = 64,
       dBuckets: Int = 1, blobSize: Int = 256,
       knobsByPk: Map[String, CellKnobs] = Map.empty,
-      idf: Option[Dataset[graft.model.IdfRow]] = None): Dataset[LinkHit] = {
+      idf: Option[Dataset[graft.model.IdfRow]] = None,
+      wand: Boolean = WandDefault): Dataset[LinkHit] = {
     import spark.implicits._
     val default = CellKnobs(math.max(1, qBuckets), math.max(1, dBuckets))
     val bknobs = spark.sparkContext.broadcast(knobsByPk)
@@ -372,7 +373,7 @@ object Linker {
           var i = 0
           while (i < buf.length) { Scoring.stampSideIdfs(buf(i), idfMap); i += 1 }
         }
-        scoreCellBlocked(qIt.map(_._2), buf.toArray, topN)
+        scoreCellBlocked(qIt.map(_._2), buf.toArray, topN, wand = wand)
       }
     }
     if (!anyDb) partial
@@ -488,7 +489,8 @@ object Linker {
       targetPairsPerCell: Long = 1L << 22, maxDocsPerCell: Int = 1 << 16,
       maxQBuckets: Int = 256, bcastQMax: Long = 512,
       bcastTotalMax: Long = 1L << 17,
-      idf: Option[Dataset[graft.model.IdfRow]] = None): Dataset[LinkHit] = {
+      idf: Option[Dataset[graft.model.IdfRow]] = None,
+      wand: Boolean = WandDefault): Dataset[LinkHit] = {
     import spark.implicits._
     val plan = planRoutes(countStats(spark, queries, docs),
       spark.sparkContext.defaultParallelism, targetPairsPerCell,
@@ -503,7 +505,8 @@ object Linker {
       queries.filter(q => bShuffle.value.contains(q.partKey)),
       docs.filter(d => bShuffle.value.contains(d.partKey)),
       topN, qBuckets = 1, dBuckets = 1, knobsByPk = knobs,
-      idf = idf.map(_.filter(r => bShuffle.value.contains(r.partKey))))
+      idf = idf.map(_.filter(r => bShuffle.value.contains(r.partKey))),
+      wand = wand)
 
     if (bcastPks.isEmpty) restHits
     else {
@@ -689,9 +692,42 @@ object Linker {
     * terms (partKey handles those), so no term is exempt. */
   private def candidatesOf(q: Scoring.QuerySide,
       postings: scala.collection.mutable.LongMap[IntVec],
-      nDocs: Int): java.util.BitSet = {
+      nDocs: Int): java.util.BitSet =
+    candidatesAndBounds(q, postings, nDocs, null)
+
+  /** candidatesOf + WAND bound mass in one postings pass: `ub(d)` (when
+    * non-null) accumulates Σ maxQtfidf_i² over the query terms whose hash
+    * posting contains d — a superset of the true matched set (hash ⊇ text
+    * equality; duplicate postings only inflate), so the derived bound stays
+    * admissible. The RoadNum fuzzy fallback can match WITHOUT the N term's
+    * text (same-road, different number), so the N term's mass is ALSO
+    * posted along the query's road-text hash — every doc that can reach
+    * the fallback shares that R text (see candidatesOf's exactness note). */
+  private def candidatesAndBounds(q: Scoring.QuerySide,
+      postings: scala.collection.mutable.LongMap[IntVec],
+      nDocs: Int, ub: Array[Float]): java.util.BitSet = {
     val cand = new java.util.BitSet(nDocs)
     val hs = q.hashes
+    if (ub != null) {
+      var i = 0
+      while (i < hs.length) {
+        val m = q.maxSq(i).toFloat
+        val p = postings.getOrNull(hs(i).toLong)
+        if (p != null) {
+          var j = 0
+          while (j < p.n) { cand.set(p.a(j)); ub(p.a(j)) += m; j += 1 }
+        }
+        if (q.types.charAt(i) == 'N' && q.road != null) {
+          val pr = postings.getOrNull(q.road.hashCode.toLong)
+          if (pr != null) {
+            var j = 0
+            while (j < pr.n) { ub(pr.a(j)) += m; j += 1 }
+          }
+        }
+        i += 1
+      }
+      return cand
+    }
     var i = 0
     while (i < hs.length) {
       val p = postings.getOrNull(hs(i).toLong)
@@ -718,18 +754,53 @@ object Linker {
     *    the exact ascending doc order of the full scan, so heap contents —
     *    already order-independent via pinned ties — are bit-identical. */
   private val DocChunk = 1024
-  private def scoreCellBlocked(qs: Iterator[DocVec],
-      dsides: Array[Scoring.Side], topN: Int): Iterator[LinkHit] = {
+  /** WAND safety factor: the per-doc bound mass accumulates in FLOAT (4
+    * bytes × cell pairs, inside the task-memory valve); float summation of
+    * ≤ ~64 non-negative terms has relative error ≤ 63·2^-24 ≈ 3.8e-6, so
+    * inflating by 1e-4 provably restores admissibility. */
+  private val WandSafety = 1.0001
+  /** Kill switch for A/B measurement (GRAFT_WAND=0); results are
+    * bit-identical either way (WandSpec), only CPU changes. */
+  private[graft] val WandDefault: Boolean =
+    sys.env.get("GRAFT_WAND").forall(_ != "0")
+
+  private[graft] def scoreCellBlocked(qs: Iterator[DocVec],
+      dsides: Array[Scoring.Side], topN: Int,
+      wand: Boolean = WandDefault,
+      wandSkipped: java.util.concurrent.atomic.LongAdder = null)
+      : Iterator[LinkHit] = {
     val qsides = qs.map(new Scoring.QuerySide(_)).toArray
     if (qsides.isEmpty) return Iterator.empty
     val postings = buildPostings(dsides)
     val cands = new Array[java.util.BitSet](qsides.length)
+    // Per-(query, doc) upper-bound mass Σ maxQtfidf_i² over hash-matched
+    // terms, filled in the same postings pass that marks candidates. A
+    // doc's bound is then sqrt(ub·safety / minSumQQ) ≥ its true sim
+    // (QuerySide.maxSq doc), which the scoring loop tests against the
+    // heap's quantized kth key — an admissible, bit-identical skip.
+    val ubs = if (wand) new Array[Array[Float]](qsides.length) else null
     var i = 0
     while (i < qsides.length) {
-      cands(i) = candidatesOf(qsides(i), postings, dsides.length)
+      val ub = if (wand) new Array[Float](dsides.length) else null
+      cands(i) = candidatesAndBounds(qsides(i), postings, dsides.length, ub)
+      if (wand) ubs(i) = ub
       i += 1
     }
     val heaps = Array.fill(qsides.length)(new TopK(topN))
+    // Per-query skip limit on the RAW ub mass (avoids sqrt per doc):
+    // skip ⟺ qz(bound) < kthKey ⟺ bound < (kthKey-0.5)/1e6
+    //      ⟺ ub < ((kthKey-0.5)/1e6)² · minSumQQ / safety.
+    // Recomputed only when the heap's kth key moves.
+    val limits = new Array[Double](qsides.length)
+    val lastKeys = new Array[Long](qsides.length)
+    java.util.Arrays.fill(limits, Double.NegativeInfinity)
+    java.util.Arrays.fill(lastKeys, Long.MinValue)
+    @inline def limitFor(q: Scoring.QuerySide, kk: Long): Double =
+      if (kk <= 0L || q.minSumQQ <= 0.0) Double.NegativeInfinity
+      else {
+        val t = (kk - 0.5) / 1e6
+        t * t * q.minSumQQ / WandSafety
+      }
     var c = 0
     while (c < dsides.length) {
       val end = math.min(c + DocChunk, dsides.length)
@@ -737,12 +808,25 @@ object Linker {
       while (qi < qsides.length) {
         val q = qsides(qi)
         val heap = heaps(qi)
+        val ub = if (wand) ubs(qi) else null
+        var limit = limits(qi)
+        var lastKey = lastKeys(qi)
         var di = cands(qi).nextSetBit(c)
         while (di >= 0 && di < end) {
-          val s = Scoring.score(q, dsides(di))
-          if (s > 0) heap.offer(dsides(di).docId, s)
+          if (ub != null && ub(di) < limit) {
+            if (wandSkipped != null) wandSkipped.increment()
+          } else {
+            val s = Scoring.score(q, dsides(di))
+            if (s > 0) {
+              heap.offer(dsides(di).docId, s)
+              val kk = heap.kthKey
+              if (kk != lastKey) { lastKey = kk; limit = limitFor(q, kk) }
+            }
+          }
           di = cands(qi).nextSetBit(di + 1)
         }
+        limits(qi) = limit
+        lastKeys(qi) = lastKey
         qi += 1
       }
       c = end
@@ -833,5 +917,10 @@ object Linker {
       val s = size
       (0 until s).iterator.map(r => LinkHit(queryId, ids(r), sims(r), r + 1))
     }
+    /** Current quantized kth-place key, or Long.MinValue while not full —
+      * the WAND skip threshold: `offer` REJECTS any candidate whose
+      * quantized sim is < this key regardless of docId, so skipping such
+      * candidates upstream is bit-identical by the offer contract. */
+    def kthKey: Long = if (size < k) Long.MinValue else keys(size - 1)
   }
 }

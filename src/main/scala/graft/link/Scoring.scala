@@ -175,6 +175,50 @@ object Scoring {
       var i = 0
       while (i < n) { if (types.charAt(i) == 'X') qTextTermCount += 1; i += 1 }
     }
+
+    /** WAND-style admissible bound ingredients (round 5). For any candidate
+      * doc d: sumQD = Σ_matched qtfidf_i·dtfidf_i ≤
+      * sqrt(Σ_matched qtfidf_i²)·sqrt(sumDD) (Cauchy-Schwarz; unmatched
+      * terms have dtfidf = 0, so sumDD is exactly the matched mass), hence
+      * sim ≤ sqrt(Σ_matched maxQtfidf_i² / minSumQQ): qboost depends on the
+      * doc only through a few presence flags, so each term's qtfidf is
+      * bracketed by this query's OWN [min,max] boost per type (cases below
+      * mirror `boostC(forDoc = false)` exactly — a type whose doc-dependent
+      * branch is disabled by this query's fields collapses to a point).
+      * coord/density need no bounding: they scale dtfidf and cancel inside
+      * Cauchy-Schwarz. */
+    val maxSq: Array[Double] = new Array[Double](n)
+    var minSumQQ: Double = 0.0
+    locally {
+      var i = 0
+      while (i < n) {
+        val t = types.charAt(i)
+        val idf = effIdfs(i)
+        var lo = BOOST_M; var hi = BOOST_M
+        t match {
+          case '1' | '2' | '3' => lo = BOOST_XL; hi = BOOST_XL
+          case '4'             => lo = BOOST_XS; hi = BOOST_XS
+          case 'X'             => ()
+          case 'T' =>
+            if (town == null) { lo = BOOST_XS; hi = BOOST_XS }
+            else { lo = BOOST_XS; hi = BOOST_L }
+          case 'V' =>
+            if (village == null || town == null) { lo = BOOST_XS; hi = BOOST_XS }
+            else { lo = BOOST_XS; hi = BOOST_XL }
+          case 'R' =>
+            if ((town == null || village == null) && road != null) {
+              lo = BOOST_M; hi = BOOST_L
+            }
+          case 'N' =>
+            if ((town == null || village == null) && roadNumValue > 0 &&
+                road != null) { lo = BOOST_M; hi = 3.0 }
+          case _ => ()
+        }
+        maxSq(i) = (idf * hi) * (idf * hi)
+        minSumQQ += (idf * lo) * (idf * lo)
+        i += 1
+      }
+    }
   }
 
   /** `SimilarityComputer.getBoostValue` `:198-255` on compiled sides.
