@@ -57,10 +57,16 @@ object Bench {
     // 3-point best-of-3 bench under ~40 min. GRAFT_SCALE_MULT still
     // multiplies the input for Amdahl evidence runs (efficiency must rise
     // with the multiplier iff F — not a serial stage — is the bound).
+    // Round-5 recalibration: WAND pruning cut the scoring work ~2.6× at
+    // fixed input (SURVEY §7.4-8), which would have let the ~20s fixed
+    // per-job overhead F dominate the 2-core point again — the same trap as
+    // round 3's candidate pruning. Standard input scaled 1.6× (the round-4
+    // Amdahl-evidence point) to put the 2-core wall back in the
+    // W-dominated regime.
     val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toDouble
     val (c, v, d) =
-      if (sf >= 0.1) (225000L, 200000L, 12)
-      else if (sf >= 0.01) (20000L, 16000L, 8)
+      if (sf >= 0.1) (360000L, 320000L, 12)
+      else if (sf >= 0.01) (32000L, 25600L, 8)
       else (3000L, 1500L, 5)
     ((c * mult).toLong, (v * mult).toLong, d)
   }

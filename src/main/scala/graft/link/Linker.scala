@@ -532,7 +532,8 @@ object Linker {
         spark.sparkContext.broadcast(m.toMap)
       }
       val hitsB = linkTopKBroadcast(spark,
-        qB, docs.filter(d => bBcast.value.contains(d.partKey)), topN, idfB)
+        qB, docs.filter(d => bBcast.value.contains(d.partKey)), topN, idfB,
+        wand = wand)
       restHits.union(hitsB)
     }
   }
@@ -543,8 +544,8 @@ object Linker {
     * shuffle of k*|queries| rows. */
   def linkTopKBroadcast(spark: SparkSession, queries: Array[DocVec],
       docs: Dataset[DocVec], topN: Int,
-      idfByPk: Option[Broadcast[Map[String, java.util.HashMap[String, java.lang.Double]]]] = None)
-      : Dataset[LinkHit] = {
+      idfByPk: Option[Broadcast[Map[String, java.util.HashMap[String, java.lang.Double]]]] = None,
+      wand: Boolean = WandDefault): Dataset[LinkHit] = {
     import spark.implicits._
     val byPart = queries.groupBy(_.partKey)
     val bq = spark.sparkContext.broadcast(byPart)
@@ -553,33 +554,54 @@ object Linker {
       // Per-partKey compiled queries + inverted index over QUERY term hashes
       // (the mirror of scoreCellBlocked's doc postings): each streamed doc
       // only scores the queries it shares ≥1 term text with — exact, see
-      // `candidatesOf`'s argument.
+      // `candidatesOf`'s argument. `masses` parallels `postings` with each
+      // entry's maxQtfidf² (WAND, round 5): pass 1 over a doc's hashes
+      // accumulates a per-query bound mass, pass 2 scores only queries
+      // whose bound can still beat their heap's kth key — the same
+      // admissible, bit-identical skip as the shuffle cells. The RoadNum
+      // fuzzy fallback posts its mass (and candidacy — a superset: the
+      // fallback needs equal road TEXT, which is an R term on both sides,
+      // so no new nonzero pair appears) on the query's road-text hash.
       final case class QIdx(qs: Array[Scoring.QuerySide],
-          postings: scala.collection.mutable.LongMap[IntVec])
+          postings: scala.collection.mutable.LongMap[IntVec],
+          masses: scala.collection.mutable.LongMap[FloatVec])
       val byPk = new scala.collection.mutable.HashMap[String, QIdx]()
       val qmap = bq.value
       var stamp = 0
       var stamps = new Array[Int](64)
+      var ubq = new Array[Float](64)
+      val cands = new IntVec
       it.foreach { d =>
         val qidx = byPk.getOrElseUpdate(d.partKey, {
           val qs = qmap.getOrElse(d.partKey, Array.empty)
             .map(new Scoring.QuerySide(_))
           val postings = new scala.collection.mutable.LongMap[IntVec](qs.length * 8)
+          val masses = new scala.collection.mutable.LongMap[FloatVec](qs.length * 8)
+          def post(key: Long, qi: Int, m: Float): Unit = {
+            postings.getOrElseUpdate(key, new IntVec).add(qi)
+            masses.getOrElseUpdate(key, new FloatVec).add(m)
+          }
           var qi = 0
           while (qi < qs.length) {
-            val hs = qs(qi).hashes
+            val q = qs(qi)
+            val hs = q.hashes
             var i = 0
             while (i < hs.length) {
-              postings.getOrElseUpdate(hs(i).toLong, new IntVec).add(qi)
+              val m = q.maxSq(i).toFloat
+              post(hs(i).toLong, qi, m)
+              if (q.types.charAt(i) == 'N' && q.road != null)
+                post(q.road.hashCode.toLong, qi, m)
               i += 1
             }
             qi += 1
           }
-          QIdx(qs, postings)
+          QIdx(qs, postings, masses)
         })
         if (qidx.qs.nonEmpty) {
-          if (stamps.length < qidx.qs.length)
+          if (stamps.length < qidx.qs.length) {
             stamps = new Array[Int](qidx.qs.length)
+            ubq = new Array[Float](qidx.qs.length)
+          }
           stamp += 1
           val ds = new Scoring.Side(d)
           // Fused idf attach: streamed docs carry zero idfs; stamp from the
@@ -591,25 +613,48 @@ object Linker {
             Scoring.stampSideIdfs(ds,
               b.value.getOrElse(d.partKey, EmptyIdfMap))
           }
+          // Pass 1: candidates + bound mass for THIS doc.
+          cands.n = 0
           val hs = ds.hashes
           var i = 0
           while (i < hs.length) {
             val p = qidx.postings.getOrNull(hs(i).toLong)
             if (p != null) {
+              val mv = qidx.masses.getOrNull(hs(i).toLong)
               var j = 0
               while (j < p.n) {
                 val qi = p.a(j)
                 if (stamps(qi) != stamp) {
-                  stamps(qi) = stamp
-                  val q = qidx.qs(qi)
-                  val s = Scoring.score(q, ds)
-                  if (s > 0)
-                    heaps.getOrElseUpdate(q.docId, new TopK(topN)).offer(d.docId, s)
+                  stamps(qi) = stamp; ubq(qi) = 0f; cands.add(qi)
                 }
+                ubq(qi) += mv.a(j)
                 j += 1
               }
             }
             i += 1
+          }
+          // Pass 2: score candidates whose bound survives their threshold.
+          var ci = 0
+          while (ci < cands.n) {
+            val qi = cands.a(ci)
+            val q = qidx.qs(qi)
+            var skip = false
+            if (wand && q.minSumQQ > 0.0) {
+              val h = heaps.getOrElse(q.docId, null)
+              if (h != null) {
+                val kk = h.kthKey
+                if (kk > 0L) {
+                  val t = (kk - 0.5) / 1e6
+                  skip = ubq(qi) < t * t * q.minSumQQ / WandSafety
+                }
+              }
+            }
+            if (!skip) {
+              val s = Scoring.score(q, ds)
+              if (s > 0)
+                heaps.getOrElseUpdate(q.docId, new TopK(topN)).offer(d.docId, s)
+            }
+            ci += 1
           }
         }
       }
@@ -656,6 +701,17 @@ object Linker {
     def add(v: Int): Unit = {
       if (n == a.length) {
         val b = new Array[Int](n * 2); System.arraycopy(a, 0, b, 0, n); a = b
+      }
+      a(n) = v; n += 1
+    }
+  }
+
+  /** Float twin of IntVec (per-posting WAND bound masses). */
+  private final class FloatVec {
+    var a = new Array[Float](4); var n = 0
+    def add(v: Float): Unit = {
+      if (n == a.length) {
+        val b = new Array[Float](n * 2); System.arraycopy(a, 0, b, 0, n); a = b
       }
       a(n) = v; n += 1
     }

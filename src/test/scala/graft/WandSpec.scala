@@ -74,6 +74,23 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast route is bit-identical with pruning on vs off") {
+    val s = spark
+    import s.implicits._
+    val docs = cellInputs(1500)
+    val queries = docs.take(120).toArray
+    val ds = s.createDataset(docs).repartition(4)
+    def run(wand: Boolean) =
+      Linker.linkTopKBroadcast(s, queries, ds, 5, wand = wand)
+        .collect()
+        .map(h => (h.queryId, h.docId, h.rank,
+          java.lang.Double.doubleToLongBits(h.similarity)))
+        .sortBy(x => (x._1, x._3))
+    val on = run(wand = true)
+    val off = run(wand = false)
+    assert(on.nonEmpty && on.sameElements(off))
+  }
+
   test("full-pipeline link is bit-identical with pruning on vs off") {
     val s = spark
     import s.implicits._
