@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] runs 30+ executor threads in ONE heap — 8g was
+  // 250 MB/thread, far below any real executor's memory-per-core, and the
+  // round-5 sf0.1 scaling bench OOM'd its 32-core point there (persisted
+  // doc tables + per-cell scoring scratch). Heap is lazily committed, so
+  // small runs don't pay for the headroom. SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ (if (sys.env.contains("GRAFT_GC_LOG"))
         Seq("-Xlog:gc*:file=/tmp/graft-gc.log:time,uptime") else Seq.empty)

@@ -208,13 +208,26 @@ object Bench {
     var firstRun = true
     def best(cores: Int, reps: Int): Point = {
       val canary = canarySec()
+      // A crashed rep (OOM, lost shuffle file under ambient pressure) must
+      // not kill the WHOLE bench — the driver would get no JSON artifact at
+      // all. It records the -1.0 sentinel in the samples (visible, never a
+      // candidate for min) and the point stands on its surviving reps; only
+      // a point with zero successes aborts.
       val runs = (1 to reps).map { _ =>
-        val r = pipelineRun(cores, inputDir, dict, warmup = firstRun)
+        val r =
+          try Some(pipelineRun(cores, inputDir, dict, warmup = firstRun))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $cores-core rep failed: ${e.getMessage}")
+            None
+          }
         firstRun = false
         r
       }
-      val b = runs.minBy(_._3)
-      Point(cores, b._1, b._2, b._3, runs.map(_._3), canary)
+      val ok = runs.flatten
+      require(ok.nonEmpty, s"all $reps reps failed at $cores cores")
+      val b = ok.minBy(_._3)
+      Point(cores, b._1, b._2, b._3,
+        runs.map(_.map(_._3).getOrElse(-1.0)), canary)
     }
     val p2 = best(core2, 3)
     val p8 = best(core8, 3)

@@ -99,6 +99,41 @@ object SparkEntry {
     finally r.unpersistAll()
   }
 
+  /** Canonicalization loop CLOSED (round 5; reference `ExtractTown.main`
+    * → `AddressPersister.importRegionTowns` → next trie build): discover
+    * town/village surface forms, grow the dictionary
+    * (`KgPipeline.growDict`), re-interpret the SAME corpus with the grown
+    * trie, and emit every row whose division now resolves a DISCOVERED
+    * region id — proof the second pass treats them as real Town/Village
+    * regions. Shared by kg_towns_loop (rows-only: trie + visitor
+    * interpretation, gated by DictLoopSpec + the sf0.001 drift pin) and
+    * kg_towns_loop_check (the DuckDB-oracled invariant aggregate over these
+    * rows). Stash-materialized before dropping the per-call broadcasts
+    * (stash truncates lineage), so repeated invocations don't accumulate
+    * grown dicts. */
+  private def townsLoopRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (corpus, _) = kgInputs(s, dir)
+    val b = bdict(s)
+    val b2 = KgPipeline.growDict(s, corpus, b)
+    val baseIds = b.value.regions.all.iterator.map(_.id).toSet
+    val newNames: Map[Long, String] = b2.value.regions.all.iterator
+      .filter(r => !baseIds.contains(r.id)).map(r => r.id -> r.name).toMap
+    val bNew = s.sparkContext.broadcast(newNames)
+    val df = Linker.interpretCorpus(s, corpus, b2)
+      .filter(a => bNew.value.contains(a.townId) ||
+        bNew.value.contains(a.villageId))
+      .map(a => (a.id, a.pid, a.cid, a.did, a.townId,
+        bNew.value.getOrElse(a.townId, null),
+        a.villageId, bNew.value.getOrElse(a.villageId, null)))
+      .toDF("doc_id", "pid", "cid", "did", "town_id", "town_name",
+        "village_id", "village_name")
+      .orderBy("doc_id")
+    val out = stash(s, df, "kg_towns_loop")
+    b2.destroy(); bNew.destroy()
+    out
+  }
+
   /** Flagship query on sf=0.001: the full transcript→KG pipeline; returns the
     * emitted triples. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -213,38 +248,61 @@ object SparkEntry {
       Linker.discoverTowns(s, corpus, bdict(s))
         .orderBy("district_id", "name")
     }),
-    "kg_towns_loop" -> ((s, dir) => {
-      // Canonicalization loop CLOSED (round 5; reference `ExtractTown.main`
-      // → `AddressPersister.importRegionTowns` → next trie build): discover
-      // town/village surface forms, grow the dictionary
-      // (`KgPipeline.growDict`), re-interpret the SAME corpus with the
-      // grown trie, and emit every row whose division now resolves a
-      // DISCOVERED region id — proof the second pass treats them as real
-      // Town/Village regions. Rows-only for the same reason as kg_mentions
-      // (trie + visitor interpretation); gated by DictLoopSpec conformance
-      // + the sf0.001 drift pin, recorded in its _verification.json.
-      import s.implicits._
+    "kg_towns_loop" -> ((s, dir) => townsLoopRows(s, dir)),
+    "kg_towns_loop_check" -> ((s, dir) => {
+      // Partial property-oracle for the rows-only kg_towns_loop surface
+      // (mirror of kg_mentions_check): DuckDB re-derives the discovered
+      // region-id table from the town_candidates stage (the same window the
+      // green kg_towns oracle runs) and checks every second-pass row
+      // against it and the raw corpus text — id ↔ (district, name)
+      // consistency, region types in the right division slot, and that
+      // each resolved surface form actually occurs in the document. Exact
+      // row MEMBERSHIP stays rows-only (trie interpretation), but a corrupt
+      // id assignment, a cross-district leak, or a fabricated resolution
+      // flips a count here. TownsLoopCheckSpec pins every count at zero.
+      val loop = townsLoopRows(s, dir)
       val (corpus, _) = kgInputs(s, dir)
-      val b = bdict(s)
-      val b2 = KgPipeline.growDict(s, corpus, b)
-      val baseIds = b.value.regions.all.iterator.map(_.id).toSet
-      val newNames: Map[Long, String] = b2.value.regions.all.iterator
-        .filter(r => !baseIds.contains(r.id)).map(r => r.id -> r.name).toMap
-      val bNew = s.sparkContext.broadcast(newNames)
-      val df = Linker.interpretCorpus(s, corpus, b2)
-        .filter(a => bNew.value.contains(a.townId) ||
-          bNew.value.contains(a.villageId))
-        .map(a => (a.id, a.pid, a.cid, a.did, a.townId,
-          bNew.value.getOrElse(a.townId, null),
-          a.villageId, bNew.value.getOrElse(a.villageId, null)))
-        .toDF("doc_id", "pid", "cid", "did", "town_id", "town_name",
-          "village_id", "village_name")
-        .orderBy("doc_id")
-      // Materialize before dropping the per-call broadcasts (stash truncates
-      // lineage), so repeated invocations don't accumulate grown dicts.
-      val out = stash(s, df, "kg_towns_loop")
-      b2.destroy(); bNew.destroy()
-      out
+      val nt = Linker.discoverTowns(s, corpus, bdict(s))
+      def side(p: String) = nt.select(
+        col("new_region_id").as(s"${p}_rid"),
+        col("name").as(s"${p}_rname"),
+        col("district_id").as(s"${p}_rdid"),
+        col("region_type").as(s"${p}_rtype"))
+      val j = loop
+        .join(corpus.toDF("doc_id", "docText"), Seq("doc_id"), "left")
+        .join(side("t"), col("town_id") === col("t_rid"), "left")
+        .join(side("v"), col("village_id") === col("v_rid"), "left")
+      def viol(c: org.apache.spark.sql.Column, name: String) =
+        sum(when(c, 1L).otherwise(0L)).as(name)
+      val townT = lit(graft.model.RegionTypes.Town)
+      val villT = lit(graft.model.RegionTypes.Village)
+      j.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_doc"),
+        viol(col("docText").isNull, "n_orphan_doc"),
+        viol(col("town_name").isNull && col("village_name").isNull,
+          "n_no_discovered"),
+        viol(col("town_name").isNotNull && col("t_rname").isNull,
+          "n_town_unmatched"),
+        viol(col("t_rname").isNotNull && col("t_rname") =!= col("town_name"),
+          "n_town_name_mismatch"),
+        viol(col("town_name").isNotNull && col("t_rdid").isNotNull &&
+          col("t_rdid") =!= col("did"), "n_town_did_mismatch"),
+        viol(col("town_name").isNotNull && col("t_rtype").isNotNull &&
+          col("t_rtype") =!= townT, "n_town_bad_type"),
+        viol(col("town_name").isNotNull && col("docText").isNotNull &&
+          !col("docText").contains(col("town_name")), "n_town_not_in_doc"),
+        viol(col("village_name").isNotNull && col("v_rname").isNull,
+          "n_village_unmatched"),
+        viol(col("v_rname").isNotNull && col("v_rname") =!= col("village_name"),
+          "n_village_name_mismatch"),
+        viol(col("village_name").isNotNull && col("v_rdid").isNotNull &&
+          col("v_rdid") =!= col("did"), "n_village_did_mismatch"),
+        viol(col("village_name").isNotNull && col("v_rtype").isNotNull &&
+          col("v_rtype") =!= villT, "n_village_bad_type"),
+        viol(col("village_name").isNotNull && col("docText").isNotNull &&
+          !col("docText").contains(col("village_name")),
+          "n_village_not_in_doc"))
     }),
     "kg_adjacency" -> ((s, dir) => {
       KgPipeline.regionAdjacency(s, dict).orderBy("src", "dst")
@@ -655,6 +713,10 @@ object SparkEntry {
     docs.unpersist()
 
     w(Linker.townCandidates(s, corpus, b), "town_candidates")
+    // Second-pass loop rows for the kg_towns_loop_check oracle: DuckDB
+    // re-checks each row's discovered ids/names/types against the
+    // town_candidates recompute and the raw corpus text.
+    w(townsLoopRows(s, dir), "towns_loop")
     w(s.createDataset(dict.regions.all.map(r => (r.id, r.parentId)))
       .toDF("id", "parentId"), "regions")
     // Raw turn text keyed like mention subjects — the kg_mentions_check
@@ -823,6 +885,60 @@ object SparkEntry {
            CAST(sum(CASE WHEN village_id > 0 AND
              NOT (village_parent = did OR village_parent = town_id)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_village_edge
+         FROM j""",
+    "kg_towns_loop_check" ->
+      s"""WITH nt AS (
+           SELECT district_id, name, new_region_id, region_type FROM (
+             SELECT district_id, name,
+               district_id*10000 + row_number() OVER
+                 (PARTITION BY district_id ORDER BY name) - 1 AS new_region_id,
+               CASE WHEN substr(name, length(name), 1) IN ('镇','乡') THEN 400
+                    WHEN substr(name, length(name), 1) = '村' THEN 410
+                    ELSE 0 END AS region_type
+             FROM ${sp("town_candidates")})
+           WHERE region_type > 0),
+         j AS (
+           SELECT tl.*, c.docText,
+             t.name AS t_rname, t.district_id AS t_rdid,
+             t.region_type AS t_rtype,
+             v.name AS v_rname, v.district_id AS v_rdid,
+             v.region_type AS v_rtype
+           FROM ${sp("towns_loop")} tl
+           LEFT JOIN ${sp("corpus")} c ON c.docId = tl.doc_id
+           LEFT JOIN nt t ON t.new_region_id = tl.town_id
+           LEFT JOIN nt v ON v.new_region_id = tl.village_id)
+         SELECT count(*) AS n_rows,
+           count(*) - count(DISTINCT doc_id) AS n_dup_doc,
+           CAST(sum(CASE WHEN docText IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_doc,
+           CAST(sum(CASE WHEN town_name IS NULL AND village_name IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discovered,
+           CAST(sum(CASE WHEN town_name IS NOT NULL AND t_rname IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_town_unmatched,
+           CAST(sum(CASE WHEN t_rname IS NOT NULL AND t_rname <> town_name
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_town_name_mismatch,
+           CAST(sum(CASE WHEN town_name IS NOT NULL AND t_rdid IS NOT NULL
+             AND t_rdid <> did THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_town_did_mismatch,
+           CAST(sum(CASE WHEN town_name IS NOT NULL AND t_rtype IS NOT NULL
+             AND t_rtype <> 400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_town_bad_type,
+           CAST(sum(CASE WHEN town_name IS NOT NULL AND docText IS NOT NULL
+             AND NOT contains(docText, town_name) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_town_not_in_doc,
+           CAST(sum(CASE WHEN village_name IS NOT NULL AND v_rname IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_village_unmatched,
+           CAST(sum(CASE WHEN v_rname IS NOT NULL AND v_rname <> village_name
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_village_name_mismatch,
+           CAST(sum(CASE WHEN village_name IS NOT NULL AND v_rdid IS NOT NULL
+             AND v_rdid <> did THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_village_did_mismatch,
+           CAST(sum(CASE WHEN village_name IS NOT NULL AND v_rtype IS NOT NULL
+             AND v_rtype <> 410 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_village_bad_type,
+           CAST(sum(CASE WHEN village_name IS NOT NULL AND docText IS NOT NULL
+             AND NOT contains(docText, village_name) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_village_not_in_doc
          FROM j""",
     "kg_triples" -> kgTriplesOracleSql,
     // Stream == batch on an independent engine: the streaming query's
@@ -1514,7 +1630,11 @@ object SparkEntry {
         "visitor arbitration is not SQL-expressible"),
       "gates" -> ("DictLoopSpec conformance (discovery→merge→resolution, " +
         "reference id scheme, Town term + boost in doc vectors); " +
-        "DriftPinSpec sf0.001 content hash"),
+        "DriftPinSpec sf0.001 content hash; kg_towns_loop_check PARTIAL " +
+        "ORACLE (DuckDB re-derives the discovered-region id table and " +
+        "checks every loop row's id/district/type consistency plus " +
+        "name-occurs-in-document — violation counts pinned to zero by " +
+        "TownsLoopCheckSpec)"),
       "pinned_hash_sf0001" -> driftPins("kg_towns_loop")))
   // q20_media_features left this map in round 5: the portable mod-p stub
   // codec made its feature floats fully DuckDB-recomputable (media_bytes +
