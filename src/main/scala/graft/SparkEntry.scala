@@ -480,6 +480,25 @@ object SparkEntry {
           dim = 64, bits = 6, tables = 16)
         .orderBy("a", "b")
     }),
+    "q28_dedup_groups" -> ((s, dir) => {
+      // Pair graph → dedup groups: q9's MinHash-LSH candidate pairs closed
+      // into connected components (alternating star), one canonical keeper
+      // (= min id) per group. The DuckDB oracle re-derives the SAME pairs
+      // from scratch and closes them with a recursive transitive-closure CTE
+      // — two entirely different CC algorithms must agree exactly.
+      val sig = DedupOps.minHashSignature(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, k = 32)
+      DedupOps.connectedComponents(DedupOps.lshCandidates(sig, k = 32, bands = 8))
+        .orderBy("id")
+    }),
+    "q29_stratified_sample" -> ((s, dir) => {
+      // Deterministic per-language rebalancing (cap the head, keep the tail)
+      // via hash-threshold keep decisions — stable across engines, retries,
+      // and partitionings; thresholds are shared Long literals with the SQL.
+      TextOps.stratifiedSample(t(s, dir, "documents"), "lang",
+          rates = Q29Rates, defaultRate = Q29DefaultRate)
+        .select("doc_id", "lang", "sample_key", "sample_thr").orderBy("doc_id")
+    }),
 
     // ---------------- text analysis (documents) ----------------------------
     "q11_token_counts" -> ((s, dir) => {
@@ -1302,6 +1321,8 @@ object SparkEntry {
          ORDER BY qid, did""",
     "q9_minhash_lsh" -> q9OracleSql,
     "q10_simhash" -> q10OracleSql,
+    "q28_dedup_groups" -> q28OracleSql,
+    "q29_stratified_sample" -> q29OracleSql,
     "q21_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings WHERE vec_id < 1000)
@@ -1658,8 +1679,10 @@ object SparkEntry {
        FROM documents WHERE length(text) >= $n),
      sh AS (SELECT DISTINCT sid, substr(text, CAST(i AS INT), $n) AS shingle FROM idx)"""
 
-  /** q9: MinHash(k=32, n=5) + LSH banding (8 bands × 4 rows) in pure SQL. */
-  private def q9OracleSql: String = {
+  /** CTE chain deriving q9's MinHash(k=32, n=5) + LSH banding (8 bands ×
+    * 4 rows) candidate pairs in pure SQL, ending in `pairs(a, b)` — shared
+    * by q9 (the pairs themselves) and q28 (their connected components). */
+  private def q9PairsCtes: String = {
     val p = DedupOps.HashP
     val n = 5; val k = 32; val bands = 8; val rpb = k / bands
     val params = DedupOps.minHashParams(k)
@@ -1673,10 +1696,50 @@ object SparkEntry {
     s"""${shingleCte(n)},
      h AS (SELECT sid, (${polySql(31, n)}) % $p AS hv FROM sh),
      sig AS (SELECT sid, $mins FROM h GROUP BY sid),
-     bands AS ($bandSelects)
-     SELECT DISTINCT l.sid AS a, r.sid AS b
-     FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.sid < r.sid
-     ORDER BY a, b"""
+     bands AS ($bandSelects),
+     pairs AS (
+       SELECT DISTINCT l.sid AS a, r.sid AS b
+       FROM bands l JOIN bands r
+         ON l.band = r.band AND l.bh = r.bh AND l.sid < r.sid)"""
+  }
+
+  private def q9OracleSql: String =
+    s"$q9PairsCtes SELECT a, b FROM pairs ORDER BY a, b"
+
+  /** q28: connected components of q9's pair graph. DuckDB closes the pairs
+    * with a recursive transitive-closure CTE (full reachability, then
+    * min-label per node) — algorithmically independent of the Spark side's
+    * alternating large-star/small-star rounds, so agreement checks both the
+    * pair derivation AND the closure. */
+  private def q28OracleSql: String =
+    s"""${q9PairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+     edges AS (SELECT a AS u, b AS v FROM pairs
+               UNION SELECT b AS u, a AS v FROM pairs),
+     reach(id, r) AS (
+       SELECT u, u FROM edges
+       UNION
+       SELECT reach.id, edges.v FROM reach JOIN edges ON edges.u = reach.r),
+     comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+     sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+     SELECT comp.id, comp.group_id, sizes.group_size
+     FROM comp JOIN sizes USING (group_id) ORDER BY id"""
+
+  /** q29 strata: cap the over-represented head language, keep the tail. */
+  private[graft] val Q29Rates = Map("en" -> 0.3, "zh" -> 0.8)
+  private[graft] val Q29DefaultRate = 0.6
+
+  /** q29: the identical affine hash + the identical precomputed Long
+    * thresholds ([[graft.ops.TextOps.sampleThreshold]]) — the rate→threshold
+    * rounding happens once, in Scala, and both engines compare integers. */
+  private def q29OracleSql: String = {
+    val p = DedupOps.HashP
+    val hkey = s"((doc_id % $p) * ${TextOps.SampleA} + ${TextOps.SampleB}) % $p"
+    val arms = Q29Rates.toSeq.sortBy(_._1).map { case (lang, r) =>
+      s"WHEN lang = '$lang' THEN ${TextOps.sampleThreshold(r)}"
+    }.mkString(" ")
+    val thr = s"CAST(CASE $arms ELSE ${TextOps.sampleThreshold(Q29DefaultRate)} END AS BIGINT)"
+    s"""SELECT doc_id, lang, $hkey AS sample_key, $thr AS sample_thr
+     FROM documents WHERE $hkey < $thr ORDER BY doc_id"""
   }
 
   /** q10: SimHash(n=4) — 64 parity-vote bit sums, sign-packed fingerprint. */

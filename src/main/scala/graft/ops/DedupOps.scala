@@ -185,6 +185,78 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components of the near-dup PAIR graph → dedup GROUPS — the
+    * step every production dedup pipeline ends with: near-dup similarity is
+    * not transitive, so the pair emitters above (Jaccard, MinHash-LSH,
+    * SimHash, embedding near-dup) leave overlapping pairs that must be
+    * closed into groups before picking one canonical keeper per group.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    * O(log² n) rounds to star edges (member → component-min). Each round is
+    * one hash aggregation (per-node min neighbor, map-side combinable) plus
+    * one equi-join — neighborhoods are never materialized as arrays, so a
+    * power-law hub node (the realistic shape of a near-dup graph: one viral
+    * document duplicated millions of times) costs rows proportional to its
+    * degree spread across tasks, never one giant `collect_list` task. Edges
+    * are re-`localCheckpoint`ed per round: an iterative DataFrame loop
+    * otherwise re-analyzes a plan tree that doubles each round (on a
+    * multi-executor cluster use `spark.sparkContext.setCheckpointDir` +
+    * `.checkpoint()` for lineage that survives executor loss).
+    *
+    * Convergence is detected EXACTLY (set equality via anti-join on the
+    * canonically-oriented edge set), not via a hash checksum — a false
+    * "converged" would silently emit a wrong grouping.
+    *
+    * Returns one row per node that appears in any pair:
+    * (id, group_id = component min id — the canonical keeper, group_size).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxRounds: Int = 50): DataFrame = {
+    // Canonical orientation (u > v), self-loop-free, distinct.
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    // Large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // Small-star on (u > v)-oriented edges: every smaller neighbor AND u
+    // itself link to m = min(Γ⁻(u) ∪ {u}) (= min(Γ⁻(u)), all smaller).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val viaNbr = e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+      viaNbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var e = canon(pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))).localCheckpoint(true)
+    var round = 0
+    var done = e.isEmpty
+    while (!done && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // Both sides distinct + canonical ⇒ equal counts ∧ empty difference
+      // ⇔ identical sets.
+      done = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      round += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    // At the fixpoint every edge is (member, root); roots appear only as v.
+    val members = e.select(col("u").as("id"), col("v").as("group_id"))
+      .union(e.select(col("v").as("id"), col("v").as("group_id")).distinct())
+    val sizes = members.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    members.join(sizes, "group_id").select("id", "group_id", "group_size")
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
     * round(cos, 4) ≥ threshold. O(N²) — the correctness baseline and DuckDB
     * oracle for the LSH-accelerated variant below, exactly as brute-force

@@ -77,4 +77,49 @@ object TextOps {
           .when(es >= fr, "es")
           .otherwise("fr"))
   }
+
+  /** Multiplier/offset of the sampling hash — a fixed LCG-style affine map
+    * over Z_p (p = 2^31-1, [[DedupOps.HashP]]). Applied as
+    * `((key mod p) * A + B) mod p` so every intermediate stays < 2^62:
+    * engines that ERROR on BIGINT overflow (DuckDB) and engines that wrap
+    * (JVM) compute the identical value. */
+  val SampleA: Long = 1103515245L % DedupOps.HashP
+  val SampleB: Long = 12345L
+
+  /** `rate` → inclusive-exclusive threshold on the [0, p) hash range. Both
+    * the Spark plan and the generated oracle SQL embed THIS Long, so the
+    * rate→threshold rounding happens exactly once, in one engine. */
+  def sampleThreshold(rate: Double): Long =
+    (rate * DedupOps.HashP.toDouble).toLong
+
+  /** Deterministic stratified downsampling — the rebalancing step of a
+    * training-data pipeline (cap the head language, keep the tail): a row is
+    * kept iff `hash(key) < threshold(rate(stratum))`. Hash-threshold (not
+    * `sample()`/RAND) so the decision is a pure function of the row: stable
+    * across retries, partitionings, cluster sizes, and engines — re-running
+    * the pipeline on 100 TB yields byte-identical samples, and a row's fate
+    * never changes when data moves between splits. The plan is a narrow
+    * filter + projection: no shuffle, no per-stratum pass, pushdown-eligible;
+    * strata rates ride in one inlined CASE (a handful of literals, never a
+    * join).
+    *
+    * Mirrors the reference's deterministic test/train splitting idiom
+    * (random-free, id-keyed) at corpus scale. Returns the kept rows with
+    * `sample_key` (the hash) and `sample_thr` (the stratum's threshold) so
+    * downstream audits can recompute keep-rates without re-hashing.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCol: String = "doc_id"): DataFrame = {
+    val p = DedupOps.HashP
+    val hkey = pmod(pmod(col(keyCol).cast("long"), lit(p)) * lit(SampleA)
+      + lit(SampleB), lit(p))
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(sampleThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(sampleThreshold(rate))).otherwise(acc)
+    }
+    docs.withColumn("sample_key", hkey)
+      .withColumn("sample_thr", thr.cast("long"))
+      .where(col("sample_key") < col("sample_thr"))
+  }
 }

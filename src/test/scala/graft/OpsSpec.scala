@@ -267,4 +267,80 @@ class OpsSpec extends AnyFunSuite {
     val fp = TextOps.fingerprints(df).collect()
     assert(fp.map(_.getAs[String]("md5")).distinct.length == 2)
   }
+
+  test("connected components == union-find on structured + random graphs") {
+    val s = spark
+    import s.implicits._
+    // Structured: a chain, a star, a triangle sharing a node with the chain,
+    // an isolated pair, duplicate & reversed edges.
+    val structured = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),           // chain 1-2-3-4
+      (4L, 100L), (100L, 4L), (100L, 101L),   // triangle arm + reversed dup
+      (10L, 11L), (10L, 12L), (10L, 13L),     // star centered on 10
+      (20L, 21L), (21L, 20L),                  // isolated pair, both ways
+      (30L, 31L), (31L, 32L), (32L, 30L))      // cycle
+    // Random: seeded sparse graph — many small components, one giant one.
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    for (edges <- Seq(structured, random)) {
+      // Driver-side union-find oracle.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expectGroup = nodes.map(n => n -> find(n)).toMap
+      val expectSize = expectGroup.groupBy(_._2).map { case (g, m) => g -> m.size.toLong }
+
+      val got = DedupOps.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("group_id"),
+          r.getAs[Long]("group_size")))
+      assert(got.length == nodes.size, "one row per node")
+      got.foreach { case (id, gid, sz) =>
+        assert(gid == expectGroup(id), s"node $id: group $gid != ${expectGroup(id)}")
+        assert(sz == expectSize(gid), s"group $gid size")
+      }
+    }
+    // Empty pair set → empty grouping, no convergence failure.
+    assert(DedupOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+  }
+
+  test("stratified sample: deterministic hash-threshold keep, stable under repartition") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.25, "zh" -> 0.75)
+    val out = TextOps.stratifiedSample(docs, "lang", rates, defaultRate = 0.5)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("lang"), r.getAs[Long]("sample_key"), r.getAs[Long]("sample_thr")))
+    val p = DedupOps.HashP
+    // Every kept row satisfies the keep predicate with the right threshold...
+    rows.foreach { case (id, lang, key, thr) =>
+      assert(key == ((id % p) * TextOps.SampleA + TextOps.SampleB) % p)
+      assert(thr == TextOps.sampleThreshold(rates(lang)) && key < thr)
+    }
+    // ...and every dropped row fails it (no silent over-drop).
+    val keptIds = rows.map(_._1).toSet
+    (0L until 500L).filterNot(keptIds).foreach { id =>
+      val lang = if (id % 3 == 0) "en" else "zh"
+      val key = ((id % p) * TextOps.SampleA + TextOps.SampleB) % p
+      assert(key >= TextOps.sampleThreshold(rates(lang)), s"row $id wrongly dropped")
+    }
+    // Keep-rates land near the configured rates (hash uniformity sanity).
+    val byLang = rows.groupBy(_._2).map { case (l, g) => l -> g.length }
+    assert(math.abs(byLang("en") / 167.0 - 0.25) < 0.1)
+    assert(math.abs(byLang("zh") / 333.0 - 0.75) < 0.1)
+    // Partitioning-independence: same rows at a different parallelism.
+    val re = TextOps.stratifiedSample(docs.repartition(13), "lang", rates, 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(re == keptIds)
+  }
 }
