@@ -491,6 +491,51 @@ object SparkEntry {
       DedupOps.connectedComponents(DedupOps.lshCandidates(sig, k = 32, bands = 8))
         .orderBy("id")
     }),
+    "q30_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs with doc_id % 50 == 7 stand in for
+      // the eval set; every other doc sharing a 16-char shingle with it is
+      // flagged with its hit count. Eval shingles broadcast; corpus never
+      // shuffles except the per-doc count.
+      val docs = t(s, dir, "documents")
+      DedupOps.decontaminate(
+          docs.where(col("doc_id") % 50 =!= 7),
+          docs.where(col("doc_id") % 50 === 7), n = 16)
+        .orderBy("doc_id")
+    }),
+    "q31_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signal: duplicate word-bigram
+      // fraction per document (boilerplate/degenerate-generation detector).
+      TextOps.repetitionSignals(t(s, dir, "documents"))
+        .select("doc_id", "n_bigrams", "n_distinct", "dup_bigram_frac")
+        .orderBy("doc_id")
+    }),
+    "q32_pii_redact" -> ((s, dir) => {
+      // PII scrub over deterministic contact strings built from the customer
+      // table (same construction inlined in the oracle SQL, so email/phone/ip
+      // hits are non-trivial and every count + redacted byte is recomputed).
+      val c = t(s, dir, "customer")
+      val text = concat(
+        lit("segment "), col("c_mktsegment"),
+        lit(" contact customer."),
+        lpad(col("c_custkey").cast("string"), 9, "0"),
+        lit("@mail.example or +"),
+        lpad((col("c_nationkey") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("c_custkey") % 256).cast("string"),
+        lit("."), (col("c_nationkey") % 256).cast("string"), lit(".1"))
+      TextOps.piiSignals(
+          c.select(col("c_custkey").as("cust_id"), text.as("text")))
+        .select("cust_id", "n_emails", "n_phones", "n_ips", "redacted")
+        .orderBy("cust_id")
+    }),
+    "q33_boilerplate" -> ((s, dir) => {
+      // C4-style cross-document span dedup signal: word-8-gram spans shared
+      // by >= 2 distinct docs are boilerplate; per-doc position counts.
+      DedupOps.boilerplateSpans(t(s, dir, "documents"))
+        .select("doc_id", "n_spans", "n_boiler", "boiler_frac")
+        .orderBy("doc_id")
+    }),
     "q29_stratified_sample" -> ((s, dir) => {
       // Deterministic per-language rebalancing (cap the head, keep the tail)
       // via hash-threshold keep decisions — stable across engines, retries,
@@ -1323,6 +1368,46 @@ object SparkEntry {
     "q10_simhash" -> q10OracleSql,
     "q28_dedup_groups" -> q28OracleSql,
     "q29_stratified_sample" -> q29OracleSql,
+    "q30_decontaminate" -> q30OracleSql,
+    "q32_pii_redact" -> q32OracleSql,
+    "q33_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+       idx AS (SELECT doc_id, ws,
+                 CAST(unnest(generate_series(1, len(ws)-7)) AS INT) AS i
+               FROM w WHERE len(ws) >= 8),
+       sp AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+              FROM idx),
+       df AS (SELECT span, count(DISTINCT doc_id) AS span_df
+              FROM sp GROUP BY span),
+       b AS (SELECT doc_id, count(*) AS n_boiler
+             FROM sp JOIN df USING (span) WHERE span_df >= 2 GROUP BY doc_id),
+       base AS (SELECT doc_id,
+                  CASE WHEN len(ws) >= 8 THEN len(ws)-7 ELSE 0 END AS n_spans
+                FROM w)
+       SELECT base.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+         CASE WHEN n_spans = 0 THEN 0.0
+              ELSE round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_spans, 4)
+         END AS boiler_frac
+       FROM base LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+    "q31_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+       idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+               FROM w WHERE len(ws) >= 2),
+       bg AS (SELECT doc_id,
+                ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] AS bigram
+              FROM idx),
+       st AS (SELECT doc_id, count(*) AS n_bigrams,
+                count(DISTINCT bigram) AS n_distinct
+              FROM bg GROUP BY doc_id)
+       SELECT w.doc_id,
+         coalesce(st.n_bigrams, 0) AS n_bigrams,
+         coalesce(st.n_distinct, 0) AS n_distinct,
+         coalesce(round(1.0 - CAST(st.n_distinct AS DOUBLE)/st.n_bigrams, 4),
+           0.0) AS dup_bigram_frac
+       FROM w LEFT JOIN st USING (doc_id) ORDER BY doc_id""",
     "q21_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings WHERE vec_id < 1000)
@@ -1723,6 +1808,44 @@ object SparkEntry {
      sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
      SELECT comp.id, comp.group_id, sizes.group_size
      FROM comp JOIN sizes USING (group_id) ORDER BY id"""
+
+  /** q30: decontamination recomputed in SQL — distinct eval-set shingles,
+    * inner-join the corpus shingle rows, count per doc. */
+  private def q30OracleSql: String =
+    s"""${shingleCte(16)},
+     ev AS (SELECT DISTINCT shingle FROM sh WHERE sid % 50 = 7),
+     hits AS (SELECT sid AS doc_id, count(*) AS n_hits
+              FROM sh JOIN ev USING (shingle)
+              WHERE sid % 50 <> 7 GROUP BY sid)
+     SELECT doc_id, n_hits FROM hits ORDER BY doc_id"""
+
+  /** q32: the PII scrub recomputed in SQL — the SAME deterministic contact
+    * text built from customer columns, then RE2 equivalents of
+    * [[graft.ops.TextOps.EmailRe]]/PhoneRe/Ipv4Re for counts ('g'-flagged
+    * replaces for the redaction). */
+  private def q32OracleSql: String =
+    """WITH src AS (SELECT c_custkey AS cust_id,
+         'segment ' || c_mktsegment || ' contact customer.' ||
+         lpad(CAST(c_custkey AS VARCHAR), 9, '0') || '@mail.example or +' ||
+         lpad(CAST(c_nationkey % 100 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+         CAST(c_nationkey % 256 AS VARCHAR) || '.1' AS text
+       FROM customer)
+     SELECT cust_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+     FROM src ORDER BY cust_id"""
 
   /** q29 strata: cap the over-represented head language, keep the tail. */
   private[graft] val Q29Rates = Map("en" -> 0.3, "zh" -> 0.8)

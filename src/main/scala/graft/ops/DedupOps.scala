@@ -80,6 +80,67 @@ object DedupOps {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination — the training-data hygiene step that keeps
+    * eval answers out of the training corpus: flag every corpus document
+    * sharing at least one n-gram with the eval/benchmark set, with the hit
+    * count for audit thresholds. Returns (idCol, n_hits) for contaminated
+    * docs only.
+    *
+    * Shape for 100 TB: eval sets are tiny (MBs) next to the corpus, so their
+    * distinct shingles are BROADCAST — the corpus side is a narrow
+    * explode → broadcast-hash semi join → map-side-combinable per-doc count,
+    * with no corpus shuffle beyond the per-doc aggregation. Character
+    * n-grams (default 16 ≈ a few words) rather than word tokens keep the
+    * expression codegen'd and language-agnostic. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 16): DataFrame = {
+    val evalShingles =
+      shingleRows(evalSet, idCol, textCol, n).select("shingle").distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_hits"))
+      .select(col("sid").as(idCol), col("n_hits"))
+  }
+
+  /** Cross-document boilerplate spans (the C4/RefinedWeb span-dedup family):
+    * a word n-gram occurring in at least `minDf` DISTINCT documents is
+    * boilerplate (headers, footers, license blurbs, templated text); each
+    * document reports how many of its span positions are boilerplate and the
+    * boilerplate fraction — the downstream filter/cleanup signal.
+    *
+    * Shape for 100 TB: one explode → two-stage hash aggregation with
+    * map-side partial combine (the distinct (doc, span) projection), then a
+    * span-keyed join back. A hot span (the whole point of the operator) has
+    * high df but contributes ONE row per doc to the df count — the pair
+    * explosion of a similarity join never happens. At corpus scale the span
+    * strings would be xxhash64'd before the shuffle (collision odds ~2^-64
+    * per pair); kept as raw strings here so the DuckDB oracle can recompute
+    * the exact same grouping. */
+  def boilerplateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minDf: Int = 2): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nw = size(words)
+    val nSpans = when(nw >= n, (nw - (n - 1)).cast("bigint")).otherwise(0L)
+    val idxs = when(nw >= n, sequence(lit(1), nw - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val spans = docs.select(col(idCol).as("sid"),
+      explode(transform(idxs, i => concat_ws(" ", slice(words, i, lit(n)))))
+        .as("span"))
+    val boiler = spans.select("sid", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("span_df"))
+      .where(col("span_df") >= minDf)
+    val perDoc = spans.join(boiler, Seq("span"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col(idCol), nSpans.as("n_spans"))
+      .join(perDoc.withColumnRenamed("sid", idCol), Seq(idCol), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        when(col("n_spans") === 0, 0.0).otherwise(
+          round(col("n_boiler").cast("double") / col("n_spans").cast("double"),
+            4)))
+  }
+
   /** Mersenne prime 2^31-1: keeps every intermediate < 2^62 (no overflow
     * under ANSI mode) and is shared by the DuckDB oracle SQL. */
   val HashP = 2147483647L

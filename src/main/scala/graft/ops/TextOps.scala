@@ -78,6 +78,56 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /** Repetition signals (the Gopher-rules quality family): the duplicate
+    * word-bigram fraction — boilerplate and degenerate generations repeat
+    * phrases, so `1 - distinct_bigrams/bigrams` separates them from natural
+    * text. Pure codegen'd array expressions (`transform(sequence(...))`,
+    * `array_distinct`), a narrow projection: no shuffle, scales with input
+    * splits. Docs with fewer than 2 words report 0 bigrams and fraction 0. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nw = size(words)
+    val bigrams = transform(sequence(lit(1), nw - 1),
+      i => concat(element_at(words, i), lit(" "), element_at(words, i + 1)))
+    val nBg = (nw - 1).cast("bigint")
+    val nDist = size(array_distinct(bigrams)).cast("bigint")
+    docs
+      .withColumn("n_bigrams", when(nw < 2, 0L).otherwise(nBg))
+      .withColumn("n_distinct", when(nw < 2, 0L).otherwise(nDist))
+      .withColumn("dup_bigram_frac",
+        when(nw < 2, 0.0).otherwise(
+          round(lit(1.0) - nDist.cast("double") / nBg.cast("double"), 4)))
+  }
+
+  /** PII patterns shared by the Spark plan and the DuckDB oracle — kept to
+    * the regex subset where Java `Pattern` and RE2 agree (no lookaround, no
+    * backrefs, plain character classes and bounded quantifiers). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction — the compliance scrub every pretraining
+    * corpus passes through before tokenization: count and mask emails,
+    * phone numbers, and IPv4 addresses. Counts are computed on the ORIGINAL
+    * text; redaction applies email → phone → ip in that order so a masked
+    * span is never re-matched by a later pattern. Pure codegen'd
+    * `regexp_count`/`regexp_replace` — a narrow shuffle-free projection that
+    * scales with input splits; at 100 TB this is a map-only stage whose
+    * filters/masks push straight down onto the scan output. */
+  def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("bigint"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("bigint"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("bigint"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
   /** Multiplier/offset of the sampling hash — a fixed LCG-style affine map
     * over Z_p (p = 2^31-1, [[DedupOps.HashP]]). Applied as
     * `((key mod p) * A + B) mod p` so every intermediate stays < 2^62:

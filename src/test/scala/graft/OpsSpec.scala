@@ -268,6 +268,86 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.map(_.getAs[String]("md5")).distinct.length == 2)
   }
 
+  test("decontaminate: eval n-gram hits counted exactly; clean docs absent") {
+    val s = spark
+    import s.implicits._
+    val ev = "SECRETBENCHMARKANSWERTOKEN" // 26 chars -> 11 distinct 16-grams
+    val corpus = Seq(
+      (0L, s"prefix words $ev suffix words"),          // full eval text: 11 hits
+      (1L, "totally unrelated content with no overlap at all"),
+      (2L, "leading words " + ev.substring(0, 20) + " out")) // 20-char prefix: 5
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, ev)).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(corpus, evalSet).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(out == Map(0L -> 11L, 2L -> 5L))
+  }
+
+  test("repetition signals: dup bigram fraction exact; short docs report 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "spam spam spam spam spam"),   // 4 bigrams, 1 distinct -> 0.75
+      (1L, "all words here are unique"),  // 4 bigrams, 4 distinct -> 0.0
+      (2L, "word"),                       // < 2 words -> zeros
+      (3L, "a b a b a")                   // 4 bigrams: ab,ba,ab,ba -> 0.5
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("dup_bigram_frac")))
+    }.toMap
+    assert(out(0L) == ((4L, 1L, 0.75)))
+    assert(out(1L) == ((4L, 4L, 0.0)))
+    assert(out(2L) == ((0L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 2L, 0.5)))
+  }
+
+  test("pii signals: counts on original text; redaction order email->phone->ip") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "mail a.b+c@ex-mail.org or b@x.io call +86-555-1234 from 10.0.0.1"),
+      (1L, "no pii here, just 1234-5678 and version 1.2"),
+      (2L, "+1-800-9999 twice +44-123-4567 and ip 192.168.1.255 end")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiSignals(df).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[String]("redacted")))
+    }.toMap
+    assert(out(0L) == ((2L, 1L, 1L,
+      "mail <EMAIL> or <EMAIL> call <PHONE> from <IP>")))
+    assert(out(1L) == ((0L, 0L, 0L,
+      "no pii here, just 1234-5678 and version 1.2")))
+    assert(out(2L) == ((0L, 2L, 1L,
+      "<PHONE> twice <PHONE> and ip <IP> end")))
+  }
+
+  test("boilerplate spans: cross-doc n-gram df, per-position counts, short docs zero") {
+    val s = spark
+    import s.implicits._
+    val tpl = "this footer text is shared across many pages verbatim" // 9 words
+    val df = Seq(
+      (0L, s"unique alpha words one two three four five six seven $tpl"),
+      (1L, s"different beta content nine ten eleven twelve moreso $tpl"),
+      (2L, "too short"),                         // < 8 words -> zeros
+      (3L, "gamma only words with no overlap beyond anything shared here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateSpans(df, n = 8, minDf = 2).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_frac")))
+    }.toMap
+    // tpl contributes 2 eight-grams fully inside itself; doc0 has 19 words ->
+    // 12 spans, doc1 has 17 -> 10 spans. Only the 2 all-template spans are
+    // shared between docs 0 and 1 (the words flanking tpl differ).
+    assert(out(0L) == ((12L, 2L, 0.1667)))
+    assert(out(1L) == ((10L, 2L, 0.2)))
+    assert(out(2L) == ((0L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
   test("connected components == union-find on structured + random graphs") {
     val s = spark
     import s.implicits._
