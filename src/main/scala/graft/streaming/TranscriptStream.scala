@@ -73,12 +73,14 @@ object TranscriptStream {
   /** Continuous entity LINKING: arriving turns → mentions → bounded top-k
     * link against a STATIC historical corpus → triples, per micro-batch.
     *
-    * Spark-first shape: `foreachBatch` reuses the EXACT batch operators —
-    * `detectMentions` (stateless narrow map over the broadcast trie),
-    * `stampQueryIdf` (cogroup against the static IDF table), and the fused
-    * `linkTopKAuto` (in-cell idf stamp, counted per-district knobs) — so
-    * stream/batch parity is structural and every micro-batch gets the same
-    * skew-safe plan the batch job plans. Per-query bounded top-k against a
+    * Spark-first shape: `foreachBatch` reuses the EXACT batch kernel —
+    * `detectMentions` (stateless narrow map over the broadcast trie), then
+    * the persisted [[graft.link.LinkIndex]] (corpus packed + partitioned by
+    * scoring cell ONCE before the first trigger; queries stamped in-cell
+    * from the index's idf blobs) — so stream/batch parity is structural,
+    * scores are bit-identical to the batch link, and a micro-batch moves
+    * only its own query rows: zero corpus or idf-table shuffles per
+    * trigger. Per-query bounded top-k against a
     * reference corpus is NOT expressible as a stateless stream-stream join
     * (each query needs its full candidate set before ranking), so the
     * micro-batch is the correct granularity: all state lives in the static
@@ -95,16 +97,25 @@ object TranscriptStream {
       sink: (Dataset[graft.model.Triple], Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
+    // The static side is packed, hash-partitioned by scoring cell, and
+    // persisted ONCE before the first trigger; each micro-batch cogroups
+    // its (tiny) query side against it with the index's own partitioner —
+    // narrow on the corpus, so per-batch cost no longer scales with corpus
+    // size. Output is bit-identical to the per-batch `linkTopKAuto` this
+    // replaces (LinkIndexSpec + StreamingSpec stream==batch).
+    val index = graft.link.LinkIndex.build(spark, docs, idf = Some(idf))
     turns.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        val mentions = KgPipeline.stampQueryIdf(spark,
-          KgPipeline.detectMentions(spark, batch, dict), idf)
+        // No stampQueryIdf here: the index stamps query idfs IN-CELL from
+        // its idf blobs (same DocAnalyser.stampIdf, bit-identical scores),
+        // so the per-batch idf-table cogroup shuffle disappears as well.
+        val mentions = KgPipeline.detectMentions(spark, batch, dict)
           .persist()
         try {
-          val hits = graft.link.Linker.linkTopKAuto(spark,
-            mentions.map(_.doc), docs, topN, idf = Some(idf))
+          val hits = index.link(spark, mentions.map(_.doc), topN,
+            stampQueries = true)
           sink(KgPipeline.mentionTriples(spark, mentions, dict)
             .union(KgPipeline.linkTriples(spark, mentions, hits)), batchId)
         } finally { mentions.unpersist(); () }

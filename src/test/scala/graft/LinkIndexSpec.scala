@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.SynthCorpus
+import graft.link.{LinkIndex, Linker}
+
+/** The streaming static-side index: bit-identity with the batch link across
+  * fused/unfused and single-/multi-bucket shapes, plus the locality property
+  * the index exists for — a micro-batch link must NOT re-shuffle the corpus.
+  */
+class LinkIndexSpec extends AnyFunSuite {
+  import GoldenFixtures.{dict => d0}
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def hitsKey(hs: Array[graft.model.LinkHit]) =
+    hs.map(h => (h.queryId, h.docId, h.rank,
+      java.lang.Double.doubleToLongBits(h.similarity))).toSet
+
+  test("indexed link is bit-identical to linkTopKAuto (fused + unfused, db>1)") {
+    val s = spark
+    import s.implicits._
+    val corpusRows = SynthCorpus.corpus(d0.regions, 400, 4, seed = 17)
+    val bdict = s.sparkContext.broadcast(d0)
+    val docs0 = Linker.buildDocs(s, s.createDataset(corpusRows).repartition(6), bdict)
+    val idf = Linker.buildIdf(s, docs0)
+    val docs = Linker.attachIdf(s, docs0, idf)
+
+    val base = hitsKey(Linker.linkTopKAuto(s, docs, docs, 5).collect())
+    assert(base.nonEmpty)
+
+    // Unfused (docs carry idfs), default cell valve (db == 1 everywhere).
+    val plain = LinkIndex.build(s, docs)
+    assert(hitsKey(plain.link(s, docs, 5).collect()) == base)
+    // Second batch against the SAME index: identical again (reuse path).
+    assert(hitsKey(plain.link(s, docs, 5).collect()) == base)
+    plain.unpersist()
+
+    // Fused (zero-idf docs + tag-1 idf blobs), valve forced low so every
+    // district splits into multiple doc buckets and the partial-topk merge
+    // actually runs.
+    val fusedIdx = LinkIndex.build(s, docs0, idf = Some(idf),
+      maxDocsPerCell = 8, blobSize = 4)
+    assert(fusedIdx.dbByPk.valuesIterator.exists(_ > 1))
+    assert(hitsKey(fusedIdx.link(s, docs, 5).collect()) == base)
+    // In-cell QUERY stamping: zero-idf queries + stampQueries == the same
+    // bits as pre-stamped queries (the stream's no-idf-shuffle path).
+    assert(hitsKey(fusedIdx.link(s, docs0, 5, stampQueries = true).collect())
+      == base)
+    fusedIdx.unpersist()
+  }
+
+  test("a micro-batch link does not re-shuffle the static corpus") {
+    val s = spark
+    import s.implicits._
+    val corpusRows = SynthCorpus.corpus(d0.regions, 400, 4, seed = 29)
+    val bdict = s.sparkContext.broadcast(d0)
+    val docs0 = Linker.buildDocs(s, s.createDataset(corpusRows).repartition(6), bdict)
+    val idf = Linker.buildIdf(s, docs0)
+    val docs = Linker.attachIdf(s, docs0, idf)
+    val queries = docs.limit(20).persist()
+    assert(queries.count() == 20)
+
+    val shuffleWrite = new java.util.concurrent.atomic.LongAdder
+    val listener = new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def measured(f: => Unit): Long = {
+      shuffleWrite.reset()
+      s.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(2000) } // listener bus drains asynchronously
+      finally s.sparkContext.removeSparkListener(listener)
+      shuffleWrite.sum()
+    }
+
+    val index = LinkIndex.build(s, docs0, idf = Some(idf))
+    val perBatch = measured {
+      index.link(s, queries, 5).collect(); ()
+    }
+    val perAuto = measured {
+      Linker.linkTopKAuto(s, queries, docs0, 5, idf = Some(idf)).collect(); ()
+    }
+    // The auto path shuffles the packed corpus every call; the indexed path
+    // shuffles only the 20 queries (plus the hit rows). An order of
+    // magnitude is the conservative gate — the real ratio scales with
+    // corpus size.
+    assert(perBatch * 10 <= perAuto,
+      s"indexed link shuffled $perBatch bytes vs auto $perAuto")
+    index.unpersist()
+    queries.unpersist()
+    ()
+  }
+}

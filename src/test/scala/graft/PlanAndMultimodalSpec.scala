@@ -49,6 +49,24 @@ class PlanSpec extends AnyFunSuite {
     assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
   }
 
+  test("decontamination broadcasts the eval shingles; corpus side never shuffles pre-agg") {
+    val q = SparkEntry.queries("q30_decontaminate")(spark, sfDir)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // Shuffle budget: the (tiny) eval-shingle distinct and the per-doc count
+    // agg — the exploded CORPUS side must reach the join shuffle-free.
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles <= 2, s"$nShuffles hash exchanges:\n${plan.take(1500)}")
+  }
+
+  test("boilerplate spans aggregate in two stages (map-side partial combine)") {
+    val q = SparkEntry.queries("q33_boilerplate")(spark, sfDir)
+    val plan = planOf(q)
+    assert(plan.contains("partial_count") || plan.contains("partial_finalmerge")
+      || plan.contains("HashAggregate(keys=[span"), plan.take(1500))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+  }
+
   test("partKey-partitioned docs table prunes partitions on the district filter") {
     val s = spark
     import s.implicits._
