@@ -52,6 +52,41 @@ class LinkIndexSpec extends AnyFunSuite {
     fusedIdx.unpersist()
   }
 
+  test("incremental append + idf refresh == full rebuild == batch auto, bit-identical") {
+    val s = spark
+    import s.implicits._
+    val corpusRows = SynthCorpus.corpus(d0.regions, 400, 4, seed = 17)
+    val (first, delta) = corpusRows.splitAt(300)
+    val bdict = s.sparkContext.broadcast(d0)
+    def docsOf(rows: Seq[(Long, String)]) =
+      Linker.buildDocs(s, s.createDataset(rows).repartition(6), bdict)
+    val docsAll0 = docsOf(corpusRows)
+    val idfAll = Linker.buildIdf(s, docsAll0)
+    val queries = Linker.attachIdf(s, docsAll0, idfAll)
+
+    val base = hitsKey(
+      Linker.linkTopKAuto(s, queries, docsAll0, 5, idf = Some(idfAll))
+        .collect())
+    assert(base.nonEmpty)
+
+    // Grow-in-place: index the first 300 docs with their own idf, append
+    // the 100-doc delta (existing corpus bytes untouched), then swap in the
+    // full-corpus idf table. Must equal an index built from scratch on the
+    // full corpus AND the batch auto link, bit for bit.
+    val idf300 = Linker.buildIdf(s, docsOf(first))
+    val gen0 = LinkIndex.build(s, docsOf(first), idf = Some(idf300))
+    val gen1 = gen0.appended(s, docsOf(delta)).withIdf(s, idfAll)
+    assert(hitsKey(gen1.link(s, queries, 5).collect()) == base)
+
+    val rebuilt = LinkIndex.build(s, docsAll0, idf = Some(idfAll))
+    assert(hitsKey(rebuilt.link(s, queries, 5).collect()) == base)
+
+    // The valve bookkeeping survives the append.
+    assert(gen1.docCountByPk.values.sum == rebuilt.docCountByPk.values.sum)
+    assert(gen1.compactionDue.isEmpty) // default valve is far from full here
+    rebuilt.unpersist(); gen1.unpersist(); gen0.unpersist()
+  }
+
   test("a micro-batch link does not re-shuffle the static corpus") {
     val s = spark
     import s.implicits._
