@@ -196,6 +196,28 @@ object SparkEntry {
       scoped(s, dir, 5, "kg_links")(r =>
         r.hits.toDF().withColumn("similarity", round(col("similarity"), 9))
           .orderBy("queryId", "rank"))),
+    "kg_links_indexed" -> ((s, dir) => {
+      // The SAME link through the streaming static index (LinkIndex: corpus
+      // packed + partitioned once, queries stamped in-cell) instead of the
+      // per-call-planned auto path — shares kg_links' DuckDB oracle, so the
+      // driver independently confirms indexed == planned, bit for bit.
+      import s.implicits._
+      val (corpus, turns) = kgInputs(s, dir)
+      val b = bdict(s)
+      val docs = Linker.buildDocs(s, Linker.dedupCorpus(s, corpus), b)
+        .persist()
+      val idf = Linker.buildIdf(s, docs).persist()
+      try {
+        val mentions = graft.kg.KgPipeline.detectMentions(s, turns, b)
+        val index = graft.link.LinkIndex.build(s, docs, idf = Some(idf))
+        try {
+          val hits = index.link(s, mentions.map(_.doc), 5, stampQueries = true)
+          stash(s, hits.toDF()
+            .withColumn("similarity", round(col("similarity"), 9))
+            .orderBy("queryId", "rank"), "kg_links_indexed")
+        } finally index.unpersist()
+      } finally { docs.unpersist(); idf.unpersist(); () }
+    }),
     "kg_links_explain" -> ((s, dir) =>
       // Per-term scoring explain over the final top-k hits (the reference's
       // explain=true query mode — `SimilarityComputer.java:500-535` emitting
@@ -534,6 +556,15 @@ object SparkEntry {
       // by >= 2 distinct docs are boilerplate; per-doc position counts.
       DedupOps.boilerplateSpans(t(s, dir, "documents"))
         .select("doc_id", "n_spans", "n_boiler", "boiler_frac")
+        .orderBy("doc_id")
+    }),
+    "q34_epoch_shards" -> ((s, dir) => {
+      // Training-data ordering: seed-keyed deterministic shuffle + ~1000-token
+      // shards cut along the exact distributed prefix sum (two-pass scan, no
+      // single-partition window). Engine-portable hash → fully oracled.
+      TextOps.epochShards(t(s, dir, "documents"), seed = 7, shardTokens = 1000)
+        .select("doc_id", "shuffle_key", "n_tokens_est", "token_offset",
+          "shard_id", "shard_pos")
         .orderBy("doc_id")
     }),
     "q29_stratified_sample" -> ((s, dir) => {
@@ -883,7 +914,12 @@ object SparkEntry {
     }
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // kg_links_indexed must equal kg_links bit for bit (same kernel, indexed
+  // static side), so it shares the identical DuckDB recomputation.
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("kg_links_indexed" -> oracleSqlBase("kg_links"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // ---------------- KG pipeline oracles (over the materialized stage) ----
     "kg_dedup_corpus" ->
       s"""SELECT min(id) AS id, rawText FROM ${sp("corpus_doubled")}
@@ -1370,6 +1406,7 @@ object SparkEntry {
     "q29_stratified_sample" -> q29OracleSql,
     "q30_decontaminate" -> q30OracleSql,
     "q32_pii_redact" -> q32OracleSql,
+    "q34_epoch_shards" -> q34OracleSql,
     "q33_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                     FROM documents),
@@ -1846,6 +1883,31 @@ object SparkEntry {
          '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
      FROM src ORDER BY cust_id"""
+
+  /** q34: the epoch shuffle + token sharding recomputed in SQL — same
+    * affine hash literals, same token estimate, the prefix sum as a plain
+    * window (DuckDB's engine can afford the global window at oracle scale;
+    * the Spark side uses the distributed two-pass scan). */
+  private def q34OracleSql: String = {
+    val p = graft.ops.DedupOps.HashP
+    val a = graft.ops.TextOps.SampleA
+    val b = graft.ops.TextOps.SampleB + 7
+    s"""WITH t AS (SELECT doc_id,
+         ((doc_id % $p) * $a + $b) % $p AS shuffle_key,
+         CAST(floor((length(regexp_replace(text, '\\s+', '', 'g')) + 3) / 4)
+           AS BIGINT) AS n_tokens_est
+       FROM documents),
+     c AS (SELECT *,
+         CAST(coalesce(sum(n_tokens_est) OVER (ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_offset
+       FROM t)
+     SELECT doc_id, shuffle_key, n_tokens_est, token_offset,
+       token_offset // 1000 AS shard_id,
+       CAST(row_number() OVER (PARTITION BY token_offset // 1000
+         ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos
+     FROM c ORDER BY doc_id"""
+  }
 
   /** q29 strata: cap the over-represented head language, keep the tail. */
   private[graft] val Q29Rates = Map("en" -> 0.3, "zh" -> 0.8)

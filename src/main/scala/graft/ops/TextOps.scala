@@ -142,6 +142,69 @@ object TextOps {
   def sampleThreshold(rate: Double): Long =
     (rate * DedupOps.HashP.toDouble).toLong
 
+  /** Deterministic epoch shuffle + token-budget sharding — the data-ORDERING
+    * step between a cleaned corpus and the training loop: a seed-keyed
+    * pseudo-random permutation (the same overflow-safe affine hash family as
+    * [[stratifiedSample]], so the order is a pure row function: stable
+    * across engines, retries, and cluster sizes) and contiguous shards of
+    * ~`shardTokens` tokens cut along the running token sum (a doc's shard =
+    * its starting offset ÷ budget).
+    *
+    * Scale shape: the global prefix sum is NOT a single-partition window —
+    * that is the classic 100 TB killer. It is the two-pass distributed scan:
+    * `repartitionByRange` + `sortWithinPartitions` impose the total
+    * (shuffle_key, id) order, one tiny job collects PER-PARTITION token
+    * totals (driver state = one Long per partition), and a narrow second
+    * pass stamps exact offsets. Shard position is a per-shard window
+    * (bounded partitions). Output is provably partitioning-invariant
+    * (OpsSpec runs it at 1 and 7 input partitions and compares bytes).
+    */
+  def epochShards(docs: DataFrame, seed: Long, shardTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shardTokens > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = DedupOps.HashP
+    val skey = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(SampleA)
+      + lit(SampleB + seed), lit(p))
+    val ntok = (length(regexp_replace(col(textCol), "\\s+", "")) + lit(3))
+      .divide(4).cast("bigint")
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      skey.as("shuffle_key"), ntok.as("n_tokens_est"))
+    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    val arranged = keyed
+      .repartitionByRange(np, col("shuffle_key"), col("id"))
+      .sortWithinPartitions(col("shuffle_key"), col("id"))
+      .as[(Long, Long, Long)]
+      .persist()
+    try {
+      val partTotals = arranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val stamped = arranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var cum = bOff.value(i)
+          it.map { case (id, sk, nt) =>
+            val start = cum; cum += nt; (id, sk, nt, start)
+          }
+        }
+        .toDF("id", "shuffle_key", "n_tokens_est", "token_offset")
+        .withColumn("shard_id", expr(s"token_offset div ${shardTokens}L"))
+      import org.apache.spark.sql.expressions.Window
+      stamped
+        .withColumn("shard_pos", row_number().over(Window
+          .partitionBy("shard_id").orderBy("shuffle_key", "id"))
+          .cast("bigint"))
+        .withColumnRenamed("id", idCol)
+        // Materialize before unpersisting the two-pass parent.
+        .localCheckpoint(true)
+    } finally { arranged.unpersist(); () }
+  }
+
   /** Deterministic stratified downsampling — the rebalancing step of a
     * training-data pipeline (cap the head language, keep the tail): a row is
     * kept iff `hash(key) < threshold(rate(stratum))`. Hash-threshold (not

@@ -348,6 +348,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("epoch shards: exact prefix offsets, budget cuts, parallelism-invariant") {
+    val s = spark
+    import s.implicits._
+    // 12 docs, 40 non-space chars each -> floor(43/4) = 10 tokens per doc.
+    val df = (0L until 12L).map(i => (i, ("x" * 20 + " " + "y" * 20)))
+      .toDF("doc_id", "text")
+    def rows(parts: Int) =
+      TextOps.epochShards(df.repartition(parts), seed = 7, shardTokens = 25)
+        .select("doc_id", "shuffle_key", "n_tokens_est", "token_offset",
+          "shard_id", "shard_pos")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val got = rows(1)
+    assert(got == rows(7)) // the two-pass scan must not depend on layout
+
+    // Straight-line reference: same affine hash, sort, cumsum, cut at 25.
+    val p = DedupOps.HashP
+    val expected = (0L until 12L)
+      .map(id => (id, ((id % p) * TextOps.SampleA + TextOps.SampleB + 7) % p))
+      .sortBy { case (id, sk) => (sk, id) }
+      .zipWithIndex
+      .map { case ((id, sk), pos) =>
+        val offset = pos.toLong * 10
+        (id, sk, 10L, offset, offset / 25, 0L)
+      }
+    // shard_pos: rank within shard along the same order.
+    val withPos = expected.groupBy(_._5).valuesIterator.flatMap { grp =>
+      grp.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case (t, i) => t.copy(_6 = i + 1L) }
+    }.toSet
+    assert(got == withPos)
+    // 120 tokens / 25 per shard -> offsets 0..110 -> shard ids 0..4.
+    assert(got.map(_._5) == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("connected components == union-find on structured + random graphs") {
     val s = spark
     import s.implicits._
