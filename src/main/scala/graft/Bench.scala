@@ -137,7 +137,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val dict = Dict.default()
 
-    if (sys.env.contains("GRAFT_SKEW")) { skewStress(sfDir, cpus, dict); return }
+    // GRAFT_SKEW=0 (or empty) means OFF, matching the GRAFT_WAND=0
+    // kill-switch convention — bare contains() would turn an explicit
+    // opt-out into an opt-in.
+    if (sys.env.get("GRAFT_SKEW").exists(v => v.nonEmpty && v != "0")) {
+      skewStress(sfDir, cpus, dict); return
+    }
 
     // 1. Per-query timings at the configured core count — MIN over passes
     //    (2 for all queries, a 3rd for the heavy full-pipeline rows). This
@@ -361,7 +366,8 @@ object Bench {
       for (_ <- 1 to reps) {
         val spark = session(cpus)
         // Scoring-stage balance: aggregate per-stage task durations; the
-        // scoring stage is the max-taskSum stage of the run.
+        // scoring stage ids come from Linker.ScoringStageIds (registered by
+        // the kernel's own tasks), not from a max-taskSum guess.
         val sums = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
         val maxes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAccumulator]()
         val counts = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
@@ -387,11 +393,21 @@ object Bench {
             .select("id", "rawText").as[(Long, String)]
           val turns = spark.read.parquet(s"$dir/turns").as[graft.model.Turn]
           val nTurns = turns.count()
+          // Scoring-stage attribution: the kernel registers the stage ids
+          // its tasks run in (Linker.ScoringStageIds). Clear right before
+          // the timed window so warmup scoring doesn't count, and snapshot
+          // right after so the post-timing route recompute can't pollute
+          // it — summing over EXACTLY the scoring stages, instead of
+          // guessing "max-taskSum stage of the session" (which interpret or
+          // the route recompute can win now that WAND cut scoring CPU).
+          Linker.ScoringStageIds.clear()
           val t0 = System.nanoTime()
           val r = KgPipeline.run(spark, turns, corpus, b, 5)
           r.triples.count()
           val linked = r.hits.select("queryId").distinct().count()
           val sec = (System.nanoTime() - t0) / 1e9
+          val scoringIds: Set[Int] =
+            Linker.ScoringStageIds.asScala.iterator.map(_.toInt).toSet
           samples += sec
           // Route report OUTSIDE the timed window, from the same planner
           // the link just executed (mentions/docs recomputed narrowly).
@@ -402,14 +418,23 @@ object Bench {
             spark.sparkContext.defaultParallelism)
           r.unpersistAll()
           val hotPk = plan.dCounts.maxBy(_._2)._1
-          val scoringStage = sums.asScala.maxBy(_._2.sum)
-          val sid = scoringStage._1
+          // Sum over ALL scoring stages (the auto router can split work
+          // across the broadcast mapPartitions stage AND the shuffle-cell
+          // cogroup stage — a single max-stage pick undercounts split
+          // routes).
+          require(scoringIds.nonEmpty, "no scoring stage ran in timed window")
+          val sSum = scoringIds.iterator
+            .flatMap(id => Option(sums.get(id)).map(_.sum)).sum
+          val sMax = scoringIds.iterator
+            .flatMap(id => Option(maxes.get(id)).map(_.get)).max
+          val sTasks = scoringIds.iterator
+            .flatMap(id => Option(counts.get(id)).map(_.sum)).sum
           val run = SkewRun(label, sec, Nil, canary, nTurns, linked,
             plan.pairWork,
             plan.dCounts(hotPk).toDouble / math.max(1L, plan.dCounts.values.sum),
             plan.qCounts.getOrElse(hotPk, 0L), plan.bcastPks.size,
             plan.bcastPks.contains(hotPk), plan.shuffleCells,
-            scoringStage._2.sum, maxes.get(sid).get, counts.get(sid).sum)
+            sSum, sMax, sTasks)
           if (best == null || run.sec < best.sec) best = run
         } finally spark.stop()
       }

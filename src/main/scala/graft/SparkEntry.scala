@@ -81,13 +81,28 @@ object SparkEntry {
     * `.txt` dump under it turned the driver's `stage` check red) and
     * `stashRoot` (whose shutdown hook would delete the files before the
     * driver's DuckDB oracle re-reads them). Never deleted by this JVM: the
-    * oracle SQL interpolates this absolute path and runs after exit. A
-    * STABLE path (not a fresh temp dir per JVM): `VtFiles.write` is mode
-    * `overwrite`, so successive Verify/Bench runs reuse the same tree
-    * instead of accumulating orphaned graft-vt dirs (round-4 advice). */
-  private lazy val vtDumpDir: String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-vt-dump")
-      .toString
+    * oracle SQL interpolates this absolute path and runs after exit.
+    * PER-PROCESS path under a stable root: a single shared dir would let
+    * two concurrent Verify/Bench JVMs overwrite each other's dump between a
+    * session's exit and its DuckDB oracle pass (spurious byte mismatch);
+    * a pid suffix makes that impossible, and pruning STALE sibling dumps
+    * (>6h old — the driver's oracle runs within minutes of exit) at first
+    * use keeps the accumulation bounded that round-4 advice flagged. */
+  private lazy val vtDumpDir: String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-vt")
+    java.nio.file.Files.createDirectories(root)
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val sibs = root.toFile.listFiles()
+    if (sibs != null) sibs.foreach { f =>
+      if (f.getName.startsWith("dump-") && f.lastModified() < cutoff) {
+        def rm(p: java.io.File): Unit = {
+          val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete(); ()
+        }
+        rm(f)
+      }
+    }
+    root.resolve(s"dump-${ProcessHandle.current().pid()}").toString
+  }
 
   /** Run the KG pipeline, materialize one derived result, release all run
     * caches. */
@@ -110,15 +125,31 @@ object SparkEntry {
     * kg_towns_loop_check (the DuckDB-oracled invariant aggregate over these
     * rows). Stash-materialized before dropping the per-call broadcasts
     * (stash truncates lineage), so repeated invocations don't accumulate
-    * grown dicts. */
-  private def townsLoopRows(s: SparkSession, dir: String): DataFrame = {
+    * grown dicts.
+    *
+    * Returns (loop rows, discovered-region table). The side table the check
+    * joins against is derived from the MERGED dictionary's new regions —
+    * the same rows `Linker.discoverTowns` emits, because both assign ids
+    * through the one shared scheme (`Dict.townIdBase` + sorted rank) — so
+    * the whole bundle costs ONE full-corpus candidate pass + one interpret
+    * pass (previously the check re-ran `discoverTowns`' candidate pass from
+    * scratch, a third full-corpus scan per invocation). */
+  private def townsLoopBundle(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val (corpus, _) = kgInputs(s, dir)
     val b = bdict(s)
-    val b2 = KgPipeline.growDict(s, corpus, b)
+    // Bounded collect: the DISTINCT (district, name) place-name vocabulary
+    // (same argument as KgPipeline.growDict, which this inlines so the
+    // candidate pass is shared with the side table below).
+    val cand = Linker.townCandidates(s, corpus, b).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val d2 = graft.link.Dict.withDiscoveredTowns(b.value, cand)
+    val b2 = s.sparkContext.broadcast(d2)
     val baseIds = b.value.regions.all.iterator.map(_.id).toSet
-    val newNames: Map[Long, String] = b2.value.regions.all.iterator
-      .filter(r => !baseIds.contains(r.id)).map(r => r.id -> r.name).toMap
+    val newRegions = d2.regions.all.filter(r => !baseIds.contains(r.id))
+    val newNames: Map[Long, String] =
+      newRegions.iterator.map(r => r.id -> r.name).toMap
     val bNew = s.sparkContext.broadcast(newNames)
     val df = Linker.interpretCorpus(s, corpus, b2)
       .filter(a => bNew.value.contains(a.townId) ||
@@ -130,9 +161,15 @@ object SparkEntry {
         "village_id", "village_name")
       .orderBy("doc_id")
     val out = stash(s, df, "kg_towns_loop")
+    val nt = s.createDataset(newRegions.map(r =>
+        (r.parentId, r.name, r.id, r.regionType)))
+      .toDF("district_id", "name", "new_region_id", "region_type")
     b2.destroy(); bNew.destroy()
-    out
+    (out, nt)
   }
+
+  private def townsLoopRows(s: SparkSession, dir: String): DataFrame =
+    townsLoopBundle(s, dir)._1
 
   /** Flagship query on sf=0.001: the full transcript→KG pipeline; returns the
     * emitted triples. Driver smoke-checks rows>0. */
@@ -176,7 +213,7 @@ object SparkEntry {
         val streamTurns = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .as[graft.model.Turn]
-        val q = graft.streaming.TranscriptStream.linkStream(
+        val h = graft.streaming.TranscriptStream.linkStream(
             s, streamTurns, b, docs, idf, topN = 5, s"$root/ckpt") {
           (triples, batchId) =>
             // Idempotent sink: a replayed batch overwrites its own partition
@@ -186,7 +223,10 @@ object SparkEntry {
               .parquet(s"$outDir/batch_id=$batchId")
             ()
         }
-        try q.processAllAvailable() finally q.stop()
+        // close() releases the persisted static-side index too — without it
+        // each Verify/Bench pass in a long-lived session strands a packed
+        // corpus copy in the block manager.
+        try h.query.processAllAvailable() finally h.close()
         s.read.parquet(outDir)
           .select("subj", "pred", "obj", "score", "partKey")
           .orderBy("subj", "pred", "obj")
@@ -282,9 +322,8 @@ object SparkEntry {
       // row MEMBERSHIP stays rows-only (trie interpretation), but a corrupt
       // id assignment, a cross-district leak, or a fabricated resolution
       // flips a count here. TownsLoopCheckSpec pins every count at zero.
-      val loop = townsLoopRows(s, dir)
+      val (loop, nt) = townsLoopBundle(s, dir)
       val (corpus, _) = kgInputs(s, dir)
-      val nt = Linker.discoverTowns(s, corpus, bdict(s))
       def side(p: String) = nt.select(
         col("new_region_id").as(s"${p}_rid"),
         col("name").as(s"${p}_rname"),
@@ -370,19 +409,28 @@ object SparkEntry {
           "n_road_not_in_turn"),
         viol(length(col("residual")) > length(col("text")),
           "n_residual_too_long"),
+        // Unknown region ids (the *_parent join found no row) leave the
+        // parent column NULL; without an explicit NULL arm the three-valued
+        // `=!=` would swallow exactly the fabricated/stale-id corruption
+        // this check exists to catch. coalesce(cond, false) pins NULL
+        // comparisons to "edge not satisfied" → violation.
         viol(col("cid") > 0 &&
-          !(col("cid") === col("pid") || col("cid_parent") === col("pid")),
+          !(col("cid") === col("pid") ||
+            coalesce(col("cid_parent") === col("pid"), lit(false))),
           "n_bad_city_edge"),
         viol(col("did") > 0 &&
-          !(col("did") === col("cid") || col("did_parent") === col("cid")),
+          !(col("did") === col("cid") ||
+            coalesce(col("did_parent") === col("cid"), lit(false))),
           "n_bad_district_edge"),
-        viol(col("street_id") > 0 && col("street_parent") =!= col("did"),
+        viol(col("street_id") > 0 &&
+          (col("street_parent").isNull || col("street_parent") =!= col("did")),
           "n_bad_street_edge"),
-        viol(col("town_id") > 0 && col("town_parent") =!= col("did"),
+        viol(col("town_id") > 0 &&
+          (col("town_parent").isNull || col("town_parent") =!= col("did")),
           "n_bad_town_edge"),
         viol(col("village_id") > 0 &&
-          !(col("village_parent") === col("did") ||
-            col("village_parent") === col("town_id")),
+          !(coalesce(col("village_parent") === col("did"), lit(false)) ||
+            coalesce(col("village_parent") === col("town_id"), lit(false))),
           "n_bad_village_edge"))
     }),
     "kg_comention" -> ((s, dir) =>
@@ -974,16 +1022,21 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_road_not_in_turn,
            CAST(sum(CASE WHEN length(residual) > length(text)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_too_long,
-           CAST(sum(CASE WHEN cid > 0 AND NOT (cid = pid OR cid_parent = pid)
+           CAST(sum(CASE WHEN cid > 0 AND NOT (cid = pid
+             OR COALESCE(cid_parent = pid, FALSE))
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_city_edge,
-           CAST(sum(CASE WHEN did > 0 AND NOT (did = cid OR did_parent = cid)
+           CAST(sum(CASE WHEN did > 0 AND NOT (did = cid
+             OR COALESCE(did_parent = cid, FALSE))
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_district_edge,
-           CAST(sum(CASE WHEN street_id > 0 AND street_parent <> did
+           CAST(sum(CASE WHEN street_id > 0 AND (street_parent IS NULL
+             OR street_parent <> did)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_street_edge,
-           CAST(sum(CASE WHEN town_id > 0 AND town_parent <> did
+           CAST(sum(CASE WHEN town_id > 0 AND (town_parent IS NULL
+             OR town_parent <> did)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_town_edge,
            CAST(sum(CASE WHEN village_id > 0 AND
-             NOT (village_parent = did OR village_parent = town_id)
+             NOT (COALESCE(village_parent = did, FALSE)
+               OR COALESCE(village_parent = town_id, FALSE))
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_village_edge
          FROM j""",
     "kg_towns_loop_check" ->

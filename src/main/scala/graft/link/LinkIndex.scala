@@ -58,7 +58,12 @@ final class LinkIndex private (
     val maxDocsPerCell: Int,
     private val docCells: RDD[((String, Int), (Int, Array[Byte]))],
     private val idfCells: Option[RDD[((String, Int), (Int, Array[Byte]))]],
-    val fused: Boolean) extends Serializable {
+    val fused: Boolean,
+    // Every RDD this generation chain has persisted — the cells themselves
+    // plus any parents contributed by earlier generations. `appended` builds
+    // a (never-persisted) union RDD, so unpersisting `docCells` alone would
+    // free NOTHING for a derived generation; unpersist() walks this list.
+    private val owned: Seq[RDD[_]]) extends Serializable {
 
   private def partitioner = docCells.partitioner.get
 
@@ -173,7 +178,7 @@ final class LinkIndex private (
     }.partitionBy(partitioner).persist(StorageLevel.MEMORY_AND_DISK)
     deltaCells.count()
     new LinkIndex(newDb, newCounts, mdc, docCells.union(deltaCells),
-      idfCells, fused)
+      idfCells, fused, owned :+ deltaCells)
   }
 
   /** Swap the idf cells for a recomputed table (after [[appended]] deltas
@@ -186,14 +191,15 @@ final class LinkIndex private (
       .partitionBy(partitioner).persist(StorageLevel.MEMORY_AND_DISK)
     cells.count()
     new LinkIndex(dbByPk, docCountByPk, maxDocsPerCell, docCells,
-      Some(cells), fused)
+      Some(cells), fused, owned :+ cells)
   }
 
-  /** Unpersist this generation's cells. Shared with indexes derived via
-    * [[appended]]/[[withIdf]] — call only on the last generation in use. */
+  /** Unpersist EVERY cell RDD this generation chain has persisted —
+    * including parents shared with indexes this one was derived from via
+    * [[appended]]/[[withIdf]], so call only once no generation of the chain
+    * is in use (normally: on the last generation). */
   def unpersist(): Unit = {
-    docCells.unpersist()
-    idfCells.foreach(_.unpersist())
+    owned.foreach(_.unpersist())
     ()
   }
 }
@@ -245,6 +251,6 @@ object LinkIndex {
       cells
     }
     new LinkIndex(dbByPk, docCountByPk, maxDocsPerCell, docCells, idfCells,
-      fused)
+      fused, Seq(docCells) ++ idfCells)
   }
 }

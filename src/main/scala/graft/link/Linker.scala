@@ -30,15 +30,21 @@ object Dict {
     * `TermIndexBuilder.indexRegions` picks up
     * (`index/TermIndexBuilder.java:33-74`).
     *
-    * Id assignment mirrors `initializeRegionId` exactly: start at
-    * `districtId*10000` and skip past any EXISTING child already in that
-    * range, then count up — so merged ids never collide with the base
-    * dictionary. Within a district, names are assigned in sorted order (the
-    * same documented determinism divergence as `Linker.discoverTowns`: the
-    * reference numbers by Map iteration order, which no two runs reproduce).
-    * Names not ending in 镇/乡/村 are dropped (reference `else continue`);
-    * districts unknown to the base tree are dropped (reference
-    * `parent==null` skip).
+    * Id assignment is [[Dict.townIdBase]] + rank — ONE scheme shared with
+    * `Linker.discoverTowns` (and mirrored by the kg_towns DuckDB oracle), so
+    * the merged dictionary and the emitted towns table can never silently
+    * disagree on an id: start past any EXISTING child already in the
+    * `districtId*10000` block (reference `initializeRegionId` — on a base
+    * dictionary the block is empty and the base is exactly
+    * `districtId*10000`), then number ALL distinct candidate names in sorted
+    * order (the same determinism divergence from the reference's
+    * Map-iteration-order ids that `discoverTowns` documents). A candidate
+    * whose name does not end in 镇/乡/村 still CONSUMES its rank's id but
+    * produces no region — matching `discoverTowns`' rank-before-filter
+    * window and the oracle SQL (documented divergence from the reference's
+    * `else continue`, which skips the id too; vacuous in practice because
+    * `acceptTown`'s patterns only emit suffixed names). Districts unknown to
+    * the base tree are dropped (reference `parent==null` skip).
     *
     * Driver-side by design: `discovered` is the distinct (district, name)
     * vocabulary — bounded by real-world place names (~10^5-10^6 entries at
@@ -53,26 +59,32 @@ object Dict {
       .flatMap { case (did, rows) =>
         if (regions.get(did) == null) Nil
         else {
-          // initializeRegionId: base past existing children in the range.
-          var id = did * 10000L
-          regions.children(did).foreach(c => if (c.id >= id) id = c.id + 1)
-          rows.map(_._2).distinct.sorted.flatMap { name =>
-            val t = name.charAt(name.length - 1) match {
-              case '镇' | '乡' => graft.model.RegionTypes.Town
-              case '村'        => graft.model.RegionTypes.Village
-              case _           => 0
-            }
-            if (t == 0) None
-            else {
-              val r = graft.model.Region(id, did, name, "", t, "")
-              id += 1
-              Some(r)
-            }
+          val base = townIdBase(regions, did)
+          rows.map(_._2).distinct.sorted.zipWithIndex.flatMap {
+            case (name, rank) =>
+              val t = name.charAt(name.length - 1) match {
+                case '镇' | '乡' => graft.model.RegionTypes.Town
+                case '村'        => graft.model.RegionTypes.Village
+                case _           => 0
+              }
+              if (t == 0) None
+              else Some(graft.model.Region(base + rank, did, name, "", t, ""))
           }
         }
       }
     val merged = new Regions(regions.all ++ newRegions)
     new Dict(merged, new TermIndex(merged, Regions.IgnoreList))
+  }
+
+  /** First free id in a district's discovered-town block (reference
+    * `initializeRegionId`): `districtId*10000`, bumped past any existing
+    * child already in the block (i.e. towns merged by an EARLIER
+    * [[withDiscoveredTowns]] pass). The single source of the id-scheme
+    * origin, shared by [[withDiscoveredTowns]] and `Linker.discoverTowns`. */
+  def townIdBase(regions: Regions, did: Long): Long = {
+    var id = did * 10000L
+    regions.children(did).foreach(c => if (c.id >= id) id = c.id + 1)
+    id
   }
 }
 
@@ -550,6 +562,10 @@ object Linker {
     val byPart = queries.groupBy(_.partKey)
     val bq = spark.sparkContext.broadcast(byPart)
     val partial = docs.mapPartitions { it =>
+      locally { // scoring-stage attribution, same hook as scoreCellBlocked
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) { ScoringStageIds.add(tc.stageId()); () }
+      }
       val heaps = new scala.collection.mutable.HashMap[Long, TopK]()
       // Per-partKey compiled queries + inverted index over QUERY term hashes
       // (the mirror of scoreCellBlocked's doc postings): each streamed doc
@@ -820,11 +836,23 @@ object Linker {
   private[graft] val WandDefault: Boolean =
     sys.env.get("GRAFT_WAND").forall(_ != "0")
 
+  /** Stage ids (this JVM) whose tasks ran the scoring kernel — bench/test
+    * instrumentation so the skew-stress report attributes task time to the
+    * ACTUAL scoring stage(s) instead of guessing "the max-taskSum stage of
+    * the session" (which warmup, interpret, or a post-timing route
+    * recompute can win). Local-mode attribution: driver and executors share
+    * the JVM on local[n]; a real cluster would use named accumulators.
+    * Callers (Bench.skewStress) clear it right before the timed window. */
+  val ScoringStageIds: java.util.Set[Integer] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
   private[graft] def scoreCellBlocked(qs: Iterator[DocVec],
       dsides: Array[Scoring.Side], topN: Int,
       wand: Boolean = WandDefault,
       wandSkipped: java.util.concurrent.atomic.LongAdder = null)
       : Iterator[LinkHit] = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) { ScoringStageIds.add(tc.stageId()); () }
     val qsides = qs.map(new Scoring.QuerySide(_)).toArray
     if (qsides.isEmpty) return Iterator.empty
     val postings = buildPostings(dsides)
@@ -902,10 +930,39 @@ object Linker {
       dict: Broadcast[Dict]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val candidates = townCandidates(spark, corpus, dict)
+    // Same id origin as Dict.withDiscoveredTowns (Dict.townIdBase): on a
+    // BASE dictionary every district's block is empty, so base ==
+    // district_id*10000 and the kg_towns DuckDB oracle's literal
+    // `district_id*10000 + row_number - 1` recomputation stays exact; on a
+    // GROWN dictionary (iterated canonicalization loop) the base skips past
+    // already-merged towns, keeping the two id assigners in lockstep
+    // instead of silently diverging.
+    val grownBases: Map[Long, Long] = {
+      val regions = dict.value.regions
+      regions.all.iterator
+        .filter(r => r.regionType == RegionTypesTown ||
+          r.regionType == RegionTypesVillage)
+        .map(_.parentId).toSet.iterator
+        .map((did: Long) => did -> Dict.townIdBase(regions, did))
+        .filter { case (did, base) => base != did * 10000L }
+        .toMap
+    }
     val w = Window.partitionBy(col("district_id")).orderBy(col("name"))
-    candidates
+    val withBase =
+      if (grownBases.isEmpty) // base dict: identical plan to round 4
+        candidates.withColumn("id_base", col("district_id") * 10000)
+      else {
+        import spark.implicits._
+        val overrides = grownBases.toSeq.toDF("district_id", "base_override")
+        candidates.join(broadcast(overrides), Seq("district_id"), "left")
+          .withColumn("id_base",
+            coalesce(col("base_override"), col("district_id") * 10000))
+          .drop("base_override")
+      }
+    withBase
       .withColumn("new_region_id",
-        col("district_id") * 10000 + row_number().over(w) - 1)
+        col("id_base") + row_number().over(w) - 1)
+      .drop("id_base")
       .withColumn("region_type",
         when(substring(col("name"), -1, 1).isin("镇", "乡"), lit(RegionTypesTown))
           .when(substring(col("name"), -1, 1) === "村", lit(RegionTypesVillage))

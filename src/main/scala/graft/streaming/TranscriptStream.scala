@@ -90,12 +90,19 @@ object TranscriptStream {
     * offset commit — so `batchId` is passed to the sink; an idempotent or
     * transactional sink (e.g. overwrite-by-batchId partition) upgrades this
     * to effective exactly-once. Mention triples ride along so the sink
-    * receives each turn's complete triple set atomically. */
+    * receives each turn's complete triple set atomically.
+    *
+    * Returns a [[LinkStreamHandle]] carrying BOTH the query and the
+    * persisted index, because the index holds a packed copy of the full
+    * static corpus in the block manager: callers must `close()` the handle
+    * (or `index.unpersist()`) once the stream is done, or every invocation
+    * in a long-lived session strands another corpus-sized set of persisted
+    * cells. */
   def linkStream(spark: SparkSession, turns: Dataset[Turn],
       dict: Broadcast[Dict], docs: Dataset[graft.model.DocVec],
       idf: Dataset[graft.model.IdfRow], topN: Int, checkpointDir: String)(
       sink: (Dataset[graft.model.Triple], Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : LinkStreamHandle = {
     import spark.implicits._
     // The static side is packed, hash-partitioned by scoring cell, and
     // persisted ONCE before the first trigger; each micro-batch cogroups
@@ -104,7 +111,7 @@ object TranscriptStream {
     // size. Output is bit-identical to the per-batch `linkTopKAuto` this
     // replaces (LinkIndexSpec + StreamingSpec stream==batch).
     val index = graft.link.LinkIndex.build(spark, docs, idf = Some(idf))
-    turns.writeStream
+    val query = turns.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
@@ -121,6 +128,19 @@ object TranscriptStream {
         } finally { mentions.unpersist(); () }
       }
       .start()
+    LinkStreamHandle(query, index)
+  }
+
+  /** A running [[linkStream]] plus the persisted static-side index backing
+    * it. The index's packed corpus cells live in the block manager for the
+    * stream's whole lifetime — `close()` stops the query and releases them. */
+  final case class LinkStreamHandle(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      index: graft.link.LinkIndex) {
+    def close(): Unit = {
+      if (query.isActive) query.stop()
+      index.unpersist()
+    }
   }
 
   /** Wire a parquet-directory stream end-to-end: detected mentions appended

@@ -54,6 +54,34 @@ class DictLoopSpec extends AnyFunSuite {
       d2.regions.all.map(r => (r.id, r.parentId, r.name, r.regionType)))
   }
 
+  test("iterated growth: discoverTowns and withDiscoveredTowns assign ids in lockstep") {
+    val (_, corpus, cand, _, _, _) = fixtures
+    // Grow with only ONE candidate per district: the rest stay unresolved,
+    // so a second discovery pass is non-empty and every partially-grown
+    // district exercises the skip-past-existing-children base
+    // (Dict.townIdBase) — the regime where the two assigners would have
+    // silently diverged before they shared one scheme.
+    val partial = cand.groupBy(_._1).values.map(_.minBy(_._2)).toSeq
+    val dP = Dict.withDiscoveredTowns(d0, partial)
+    val bP = s.sparkContext.broadcast(dP)
+    val nt2 = Linker.discoverTowns(s, corpus, bP).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(nt2.nonEmpty, "partial growth must leave undiscovered towns")
+    val cand2 = Linker.townCandidates(s, corpus, bP).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dQ = Dict.withDiscoveredTowns(dP, cand2)
+    val idsP = dP.regions.all.map(_.id).toSet
+    val newQ = dQ.regions.all.filterNot(r => idsP.contains(r.id))
+      .map(r => (r.parentId, r.name, r.id, r.regionType)).toSet
+    assert(nt2 == newQ,
+      s"id assigners diverged on a grown dict:\n  discoverTowns-only: ${nt2 -- newQ}\n  merge-only: ${newQ -- nt2}")
+    // And no second-pass id collides with anything already in the tree.
+    nt2.foreach { case (_, _, id, _) =>
+      assert(!idsP.contains(id), s"second-pass id collision: $id")
+    }
+  }
+
   test("second interpret pass resolves discovered towns as Town/Village regions") {
     val (b, corpus, _, b2, _, newRegions) = fixtures
     val newIds = newRegions.map(_.id).toSet

@@ -73,6 +73,7 @@ class LinkIndexSpec extends AnyFunSuite {
     // the 100-doc delta (existing corpus bytes untouched), then swap in the
     // full-corpus idf table. Must equal an index built from scratch on the
     // full corpus AND the batch auto link, bit for bit.
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
     val idf300 = Linker.buildIdf(s, docsOf(first))
     val gen0 = LinkIndex.build(s, docsOf(first), idf = Some(idf300))
     val gen1 = gen0.appended(s, docsOf(delta)).withIdf(s, idfAll)
@@ -84,7 +85,13 @@ class LinkIndexSpec extends AnyFunSuite {
     // The valve bookkeeping survives the append.
     assert(gen1.docCountByPk.values.sum == rebuilt.docCountByPk.values.sum)
     assert(gen1.compactionDue.isEmpty) // default valve is far from full here
-    rebuilt.unpersist(); gen1.unpersist(); gen0.unpersist()
+    // unpersist() must free EVERY generation's cells — including the delta
+    // and base cells a derived generation's union RDD shares (a union is
+    // never itself persisted, so unpersisting it alone would leak both).
+    rebuilt.unpersist(); gen1.unpersist()
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"index cells leaked in the block manager: $leaked")
+    gen0.unpersist() // idempotent: gen1 already owned gen0's cells
   }
 
   test("a micro-batch link does not re-shuffle the static corpus") {

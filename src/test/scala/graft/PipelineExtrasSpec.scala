@@ -283,7 +283,7 @@ class StreamingSpec extends AnyFunSuite {
       new java.util.ArrayList[(String, String, String, String, Long)]())
     val ckpt = Files.createTempDirectory("graft-linkstream").toString
     val input = MemoryStream[Turn]
-    val q = graft.streaming.TranscriptStream.linkStream(
+    val h = graft.streaming.TranscriptStream.linkStream(
         s, input.toDS(), bdict, docs, idf, topN = 3, ckpt) { (triples, _) =>
       triples.collect().foreach(t => got.add(
         (t.subj, t.pred, t.obj, t.partKey,
@@ -292,10 +292,10 @@ class StreamingSpec extends AnyFunSuite {
     }
     try {
       input.addData(turns.take(25))
-      q.processAllAvailable()
+      h.query.processAllAvailable()
       input.addData(turns.drop(25))
-      q.processAllAvailable()
-    } finally q.stop()
+      h.query.processAllAvailable()
+    } finally h.close()
     import scala.jdk.CollectionConverters._
     val streamed = got.asScala.toSet
 
