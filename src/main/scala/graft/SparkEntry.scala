@@ -615,6 +615,35 @@ object SparkEntry {
           "shard_id", "shard_pos")
         .orderBy("doc_id")
     }),
+    "q35_pagerank" -> ((s, dir) =>
+      // KG analytics over the engine's own materialized graph: weighted
+      // PageRank (5 fixed iterations, d=0.85) on the co-mention entity
+      // adjacency. Oracle: DuckDB re-derives the edges from the hits/
+      // mentions stage tables (the green kg_comention derivation) and
+      // replays all 5 iterations as chained CTEs — two independent
+      // iterative implementations must agree to the 1e-9 rounding contract.
+      scoped(s, dir, 5, "q35_pagerank")(r =>
+        graft.kg.GraphOps.pageRank(
+            KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
+            iters = 5)
+          .orderBy("doc_id"))),
+    "q36_dup_spans" -> ((s, dir) => {
+      // Exact-substring dedup CUT LIST (Lee et al. 2021): duplicated word-
+      // 8-gram windows merged into maximal per-doc intervals via
+      // gaps-and-islands — integer positions end-to-end, fully oracled.
+      DedupOps.duplicateSpanIntervals(t(s, dir, "documents"))
+        .select("doc_id", "span_idx", "start_word", "end_word", "span_words")
+        .orderBy("doc_id", "span_idx")
+    }),
+    "q37_bigram_lm" -> ((s, dir) => {
+      // Perplexity-style quality scoring under a corpus-trained add-k bigram
+      // LM — the CCNet/Gopher quality-filter shape, self-contained (the
+      // corpus is its own training set). Mean-ln rounded to 6 decimals (the
+      // cross-engine quantization contract).
+      TextOps.bigramLmScores(t(s, dir, "documents"))
+        .select("doc_id", "n_bigrams", "avg_logprob")
+        .orderBy("doc_id")
+    }),
     "q29_stratified_sample" -> ((s, dir) => {
       // Deterministic per-language rebalancing (cap the head, keep the tail)
       // via hash-threshold keep decisions — stable across engines, retries,
@@ -1460,6 +1489,51 @@ object SparkEntry {
     "q30_decontaminate" -> q30OracleSql,
     "q32_pii_redact" -> q32OracleSql,
     "q34_epoch_shards" -> q34OracleSql,
+    "q35_pagerank" -> q35OracleSql,
+    "q36_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+       idx AS (SELECT doc_id, ws,
+                 CAST(unnest(generate_series(1, len(ws)-7)) AS INT) AS i
+               FROM w WHERE len(ws) >= 8),
+       spn AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS span
+               FROM idx),
+       df AS (SELECT span, count(DISTINCT doc_id) AS span_df
+              FROM spn GROUP BY span),
+       hit AS (SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + 7 AS BIGINT) AS e
+               FROM spn JOIN df USING (span) WHERE span_df >= 2),
+       mk AS (SELECT doc_id, s, e,
+                CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < s
+                     THEN 1 ELSE 0 END AS brk
+              FROM hit),
+       isl AS (SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM mk)
+       SELECT doc_id, CAST(island AS BIGINT) AS span_idx,
+         min(s) AS start_word, max(e) AS end_word,
+         CAST(max(e) - min(s) + 1 AS BIGINT) AS span_words
+       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_idx""",
+    "q37_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+       idx AS (SELECT doc_id, ws,
+                 CAST(unnest(generate_series(1, len(ws)-1)) AS INT) AS i
+               FROM w WHERE len(ws) >= 2),
+       bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM idx),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             FROM (SELECT unnest(ws) AS tok FROM w)),
+       sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT v FROM v))))
+                  AS lp
+              FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY bg.doc_id)
+       SELECT w.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         coalesce(round(sc.lp, 6), 0.0) AS avg_logprob
+       FROM w LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
     "q33_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                     FROM documents),
@@ -1941,6 +2015,47 @@ object SparkEntry {
     * affine hash literals, same token estimate, the prefix sum as a plain
     * window (DuckDB's engine can afford the global window at oracle scale;
     * the Spark side uses the distributed two-pass scan). */
+  /** q35 oracle: re-derive the co-mention edges from the hits/mentions
+    * stage tables (verbatim the green kg_comention derivation), then replay
+    * all PageRank iterations as chained CTEs — DuckDB runs the same fixed
+    * recurrence with its own join/aggregation engine, and the two must
+    * agree under the round(…, 9) contract. Generated so the iteration
+    * count/damping stay single-sourced with the Spark query. */
+  private def q35OracleSql: String = {
+    val d = "0.85"
+    val iters = 5
+    val head =
+      s"""WITH l AS (
+           SELECT DISTINCT split_part(m.subj, '#', 1) AS convId, h.docId
+           FROM ${sp("hits5")} h JOIN ${sp("mentions")} m
+             ON h.queryId = m.queryId
+           WHERE h.rank <= 1),
+         e AS (SELECT a.docId AS src, b.docId AS dst,
+                 CAST(count(*) AS DOUBLE) AS w
+               FROM l a JOIN l b ON a.convId = b.convId AND a.docId < b.docId
+               GROUP BY a.docId, b.docId),
+         ud AS (SELECT src, dst, w FROM e
+                UNION ALL SELECT dst, src, w FROM e),
+         nodes AS (SELECT DISTINCT src AS id FROM ud),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+                FROM ud),
+         r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    val iterations = (1 to iters).map { i =>
+      s""",
+         r$i AS (SELECT nodes.id,
+             (1 - $d) / (SELECT n FROM nn) + $d * coalesce(c.s, 0) AS rank
+           FROM nodes LEFT JOIN (
+             SELECT tr.dst AS id, sum(tr.p * r.rank) AS s
+             FROM tr JOIN r${i - 1} r ON tr.src = r.id
+             GROUP BY tr.dst) c USING (id))"""
+    }.mkString
+    head + iterations +
+      s"""
+       SELECT id AS doc_id, round(rank, 9) AS pagerank
+       FROM r$iters ORDER BY doc_id"""
+  }
+
   private def q34OracleSql: String = {
     val p = graft.ops.DedupOps.HashP
     val a = graft.ops.TextOps.SampleA

@@ -141,6 +141,59 @@ object DedupOps {
             4)))
   }
 
+  /** MAXIMAL duplicated-substring spans per document — the interval-merge
+    * step of exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): [[boilerplateSpans]] counts
+    * duplicated word-n-gram POSITIONS; this operator merges the overlapping
+    * windows those positions cover into the maximal intervals an actual
+    * dedup pass would cut. A duplicated run of L≥n words appears as L-n+1
+    * overlapping windows; the cut list is the merged [start, end] interval,
+    * not the window count.
+    *
+    * Gaps-and-islands with built-ins only: a window (partitionBy doc,
+    * orderBy start) running max of `end` over PRECEDING rows marks each
+    * island's first window (no overlap with anything before it); a running
+    * sum of the marks numbers the islands; one groupBy emits (min start,
+    * max end). Windows merge iff they OVERLAP (share ≥1 word position);
+    * merely adjacent duplicated runs stay separate intervals.
+    *
+    * Shape for 100 TB: the df aggregation + join back are exactly
+    * boilerplateSpans' (hot spans cost one row per doc — no pair
+    * explosion); the two analytic windows and the island groupBy all
+    * partition by doc_id, so they share ONE hash exchange; per-doc state is
+    * bounded by that doc's own window count. Word positions are exact
+    * integers end-to-end, so the DuckDB oracle (same gaps-and-islands in
+    * SQL) matches without any float contract. */
+  def duplicateSpanIntervals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(trim(col(textCol)), "\\s+")
+    val nw = size(words)
+    val idxs = when(nw >= n, sequence(lit(1), nw - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val pos = docs.select(col(idCol).as("sid"),
+      explode(transform(idxs, i => struct(i.as("i"),
+        concat_ws(" ", slice(words, i, lit(n))).as("span")))).as("ps"))
+      .select(col("sid"), col("ps.i").as("i"), col("ps.span").as("span"))
+    val dup = pos.select("sid", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("span_df"))
+      .where(col("span_df") >= minDf)
+    val hits = pos.join(dup, Seq("span"))
+      .select(col("sid"), col("i").cast("long").as("s"),
+        (col("i") + (n - 1)).cast("long").as("e"))
+    val byDoc = Window.partitionBy("sid").orderBy("s") // s unique per doc
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = hits.withColumn("brk",
+      when(prevMax.isNull || prevMax < col("s"), 1L).otherwise(0L))
+    marked
+      .withColumn("island", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("sid").as(idCol), col("island").as("span_idx"))
+      .agg(min(col("s")).as("start_word"), max(col("e")).as("end_word"))
+      .withColumn("span_words", col("end_word") - col("start_word") + 1)
+  }
+
   /** Mersenne prime 2^31-1: keeps every intermediate < 2^62 (no overflow
     * under ANSI mode) and is shared by the DuckDB oracle SQL. */
   val HashP = 2147483647L

@@ -99,6 +99,55 @@ object TextOps {
           round(lit(1.0) - nDist.cast("double") / nBg.cast("double"), 4)))
   }
 
+  /** Corpus-trained bigram language-model scores — the perplexity-style
+    * quality filter of a pretraining pipeline (CCNet/Gopher lineage: score
+    * every document under a language model and cut the tail; here the LM is
+    * an add-k-smoothed bigram model trained on the corpus ITSELF, so the
+    * operator is self-contained — no external model artifact): per document,
+    * the mean log-probability of its word bigrams
+    * `avg_i ln( (c(w_i,w_{i+1}) + k) / (c(w_i) + k·V) )`,
+    * where c() are corpus-wide bigram/left-unigram counts and V is the
+    * corpus vocabulary size. Degenerate/boilerplate text scores HIGH (its
+    * bigrams dominate the corpus), incoherent or out-of-language text
+    * scores LOW — both tails are cut candidates.
+    *
+    * Shape for 100 TB: the count tables are two hash aggregations with
+    * map-side partial combine (vocabulary-bounded, not corpus-bounded);
+    * scoring is two hash joins keyed on (w1,w2) and w1 — the w1 join is the
+    * skew point (stopword heads), which AQE's skew-join splitting handles
+    * because the build side is a per-key SINGLE row (a count), never a list.
+    * Mean-of-ln rounded to 6 decimals: summation order differs across
+    * engines at ~1e-15 while ln magnitudes are O(10), so 6 decimals is the
+    * same cross-engine quantization contract as the cosine family. Docs
+    * with <2 words score 0.0 with n_bigrams=0. */
+  def bigramLmScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Double = 0.5): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nw = size(words)
+    val bigramIdx = when(nw >= 2, sequence(lit(1), nw - 1))
+      .otherwise(array().cast("array<int>"))
+    val bg = docs.select(col(idCol).as("sid"),
+      explode(transform(bigramIdx, i => struct(
+        element_at(words, i).as("w1"),
+        element_at(words, i + 1).as("w2")))).as("b"))
+      .select(col("sid"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // V: corpus vocabulary (all token positions, all docs) — one bounded
+    // scalar action, same role as the broadcast dictionaries elsewhere.
+    val v = docs.select(explode(words).as("tok")).distinct().count().toDouble
+    val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("sid")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c2") + k) / (col("c1") + k * v))).as("lp"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("sid", idCol), Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("avg_logprob",
+        coalesce(round(col("lp"), 6), lit(0.0)))
+      .drop("lp")
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle — kept to
     * the regex subset where Java `Pattern` and RE2 agree (no lookaround, no
     * backrefs, plain character classes and bounded quantifiers). */

@@ -348,6 +348,110 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("duplicate span intervals: overlapping windows merge, disjoint runs stay separate") {
+    val s = spark
+    import s.implicits._
+    val tplA = "shared header block appears on every page here" // 8 words
+    val tplB = "common footer legal boilerplate notice text block end" // 8 words
+    val df = Seq(
+      // tplA at words 1-8, tplB at words 17-24 (8 unique words between).
+      (0L, s"$tplA u1 u2 u3 u4 u5 u6 u7 u8 $tplB"),
+      (1L, s"$tplA w1 w2 w3 w4 w5 w6 w7 w8 $tplB"),
+      (2L, "nothing duplicated in this document at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    def run(parts: Int) =
+      DedupOps.duplicateSpanIntervals(df.repartition(parts))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_idx"),
+          r.getAs[Long]("start_word"), r.getAs[Long]("end_word"),
+          r.getAs[Long]("span_words")))
+        .toSet
+    val out = run(3)
+    // Only the pure-template windows are cross-doc duplicates (the filler
+    // words differ per doc), so each doc gets TWO disjoint 8-word islands.
+    val expect = Set(
+      (0L, 1L, 1L, 8L, 8L), (0L, 2L, 17L, 24L, 8L),
+      (1L, 1L, 1L, 8L, 8L), (1L, 2L, 17L, 24L, 8L))
+    assert(out == expect)
+    assert(run(1) == out, "interval merge must be partitioning-invariant")
+
+    // A LONGER shared run (9 words = 2 overlapping windows) merges into one
+    // maximal interval instead of two window rows.
+    val long = Seq(
+      (0L, s"$tplA nine"), (1L, s"$tplA nine")).toDF("doc_id", "text")
+    val merged = DedupOps.duplicateSpanIntervals(long).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_idx"),
+        r.getAs[Long]("start_word"), r.getAs[Long]("end_word")))
+      .toSet
+    assert(merged == Set((0L, 1L, 1L, 9L), (1L, 1L, 1L, 9L)))
+  }
+
+  test("bigram LM scores match a naive reference; short docs report zero") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the hat"),
+      (2L, "dogs run fast"),
+      (3L, "single"),
+      (4L, "the cat sat on the mat")) // exact dup of 0 (count mass doubles)
+    val k = 0.5
+    val toks = rows.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val bgs = toks.flatMap { case (id, ws) =>
+      if (ws.length < 2) Nil else ws.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c2 = bgs.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.size).toMap
+    val v = toks.flatMap(_._2).distinct.size.toDouble
+    val want = bgs.groupBy(_._1).map { case (id, bs) =>
+      id -> ((bs.size.toLong,
+        bs.map(b => math.log((c2((b._2, b._3)) + k) / (c1(b._2) + k * v)))
+          .sum / bs.size))
+    }
+    val out = TextOps.bigramLmScores(rows.toDF("doc_id", "text"), k = k)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))))
+      .toMap
+    rows.map(_._1).foreach { id =>
+      val (nb, lp) = want.getOrElse(id, (0L, 0.0))
+      assert(out(id)._1 == nb, s"doc $id n_bigrams")
+      // Spark emits round(lp, 6), the naive reference is unrounded — allow
+      // the half-ulp of that quantization contract.
+      assert(math.abs(out(id)._2 - lp) < 6e-7, s"doc $id logprob")
+    }
+    // Duplicated docs share identical bigrams, so they must score equal —
+    // and higher than the doc whose tail bigram is rarer.
+    assert(out(0L)._2 == out(4L)._2)
+    assert(out(0L)._2 > out(1L)._2)
+  }
+
+  test("pagerank matches a naive reference; mass conserved; partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L), (4L, 5L, 3L))
+    val d = 0.85; val iters = 5
+    val ud = edges.flatMap { case (a, b, w) =>
+      Seq((a, b, w.toDouble), (b, a, w.toDouble)) }
+    val nodes = ud.map(_._1).distinct.sorted
+    val n = nodes.size
+    val outW = ud.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = ud.groupBy(_._2).view.mapValues(
+        _.map { case (a, _, w) => rank(a) * w / outW(a) }.sum).toMap
+      rank = nodes.map(x => x -> ((1 - d) / n + d * in.getOrElse(x, 0.0))).toMap
+    }
+    def run(parts: Int) = graft.kg.GraphOps.pageRank(
+        edges.toDF("src", "dst", "weight").repartition(parts), iters, d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pagerank")).toMap
+    val out = run(4)
+    nodes.foreach(x => assert(math.abs(out(x) - rank(x)) < 1e-9, s"node $x"))
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, "rank mass must sum to 1")
+    assert(run(1) == out, "pagerank must be partitioning-invariant")
+  }
+
   test("epoch shards: exact prefix offsets, budget cuts, parallelism-invariant") {
     val s = spark
     import s.implicits._
