@@ -622,11 +622,19 @@ object SparkEntry {
       // mentions stage tables (the green kg_comention derivation) and
       // replays all 5 iterations as chained CTEs — two independent
       // iterative implementations must agree to the 1e-9 rounding contract.
-      scoped(s, dir, 5, "q35_pagerank")(r =>
-        graft.kg.GraphOps.pageRank(
-            KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
-            iters = 5)
-          .orderBy("doc_id"))),
+      {
+        // Not scoped(): the loan-pattern pageRank must stash INSIDE `use`
+        // so its iteration checkpoints are freed on return.
+        val (corpus, turns) = kgInputs(s, dir)
+        val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+        try
+          graft.kg.GraphOps.pageRank(
+              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
+              iters = 5) { pr =>
+            stash(s, pr.orderBy("doc_id"), "q35_pagerank")
+          }
+        finally r.unpersistAll()
+      }),
     "q36_dup_spans" -> ((s, dir) => {
       // Exact-substring dedup CUT LIST (Lee et al. 2021): duplicated word-
       // 8-gram windows merged into maximal per-doc intervals via

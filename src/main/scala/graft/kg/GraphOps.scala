@@ -31,23 +31,39 @@ object GraphOps {
     * once (one agg + one join, hash-partitioned on src) and persisted; each
     * iteration is ONE hash join on src (both sides partitioned by the join
     * key, so AQE reuses the exchange) + ONE aggregation on dst with map-side
-    * partial combine, then an eager `localCheckpoint` — cutting the plan
-    * lineage that would otherwise double per iteration (the same guard as
-    * `DedupOps.connectedComponents`). Hot entities (power-law hubs — the
-    * co-mention graph's defining skew) cost rows spread across tasks in the
-    * dst aggregation, never a per-key array.
+    * partial combine, then an eager `localCheckpoint` that collapses the
+    * iteration's ANALYZED plan to a `LogicalRDD` leaf — plain `persist`
+    * does NOT do this (cache substitution happens at physical planning
+    * only; measured: the analyzed tree re-embeds the full upstream edge
+    * lineage per iteration until AQE's plan-string logging alone took
+    * minutes at sf0.1). Checkpoint blocks are freed DETERMINISTICALLY via
+    * [[org.apache.spark.sql.graft.CheckpointBlocks]] (Dataset.unpersist
+    * cannot release them). Hot entities (power-law hubs — the co-mention
+    * graph's defining skew) cost rows spread across tasks in the dst
+    * aggregation, never a per-key array.
     *
     * Output: (doc_id, pagerank) with pagerank rounded to 9 decimals — sums
     * of doubles are accumulation-order-dependent at ~1e-16, and the rounded
     * contract is what lets an independent engine (the DuckDB oracle's
     * chained-CTE recomputation) reproduce the values exactly, the same
-    * quantization argument as `Linker.TopK`. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85)
-      : DataFrame = {
+    * quantization argument as `Linker.TopK`.
+    *
+    * Loan-pattern API: the result rides on iteration-materialized
+    * checkpoint blocks, so the caller materializes it inside `use` (write,
+    * collect, stash) and EVERYTHING — edge cache, transition table, node
+    * list, final ranks — is released on return. A plain DataFrame return
+    * would strand the last iteration's blocks in the block manager (the
+    * LinkIndex lesson). */
+  def pageRank[T](edges: DataFrame, iters: Int, damping: Double = 0.85)
+      (use: DataFrame => T): T = {
     val spark = edges.sparkSession
-    val ud = edges.select(col("src"), col("dst"),
+    // The edge list often arrives with an expensive lineage (the co-mention
+    // self-join over the full pipeline); it is read twice below (node list,
+    // transition table) — cache it for the duration.
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val ud = e.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"),
+      .union(e.select(col("dst").as("src"), col("src").as("dst"),
         col("weight").cast("double").as("w")))
     val nodes = ud.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -57,29 +73,45 @@ object GraphOps {
     val trans = ud.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    trans.count() // materialize once; every iteration re-reads these blocks
+    val m = trans.count() // materialize once; iterations re-read the blocks
+    // Size the ITERATION shuffles to the graph, not the session default:
+    // the sessions here pin spark.sql.shuffle.partitions to corpus width
+    // with AQE coalescing off (the scoring-cell requirement), so a graph
+    // orders of magnitude smaller than the corpus would otherwise pay
+    // corpus-width task-launch overhead × stages × iterations (measured:
+    // ~6s/iteration on a 6.6k-node graph at 64 partitions). ~50k rows per
+    // partition, capped at 4× cluster width for genuinely large graphs;
+    // restored in the finally below.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(math.max(n, m) / 50000L + 1,
+        4L * spark.sparkContext.defaultParallelism)).toString)
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
-      val inflow = trans.join(ranks, trans("src") === ranks("id"))
+      val next = trans.join(ranks, trans("src") === ranks("id"))
         .groupBy(trans("dst").as("nid"))
         .agg(sum(col("p") * col("rank")).as("inflow"))
-      val next = nodes.join(inflow, nodes("id") === inflow("nid"), "left")
+        .join(nodes, nodes("id") === col("nid"), "right")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true) // cut lineage; also frees the prior plan
-      ranks.unpersist()
+        .localCheckpoint(true) // eager: materialized before the old blocks go
+      org.apache.spark.sql.graft.CheckpointBlocks.release(ranks)
       ranks = next
       it += 1
     }
     val out = ranks.select(col("id").as("doc_id"),
       round(col("rank"), 9).as("pagerank"))
-    // The checkpointed ranks back `out` until the caller materializes it;
-    // trans/nodes are release-safe now.
-    trans.unpersist(); nodes.unpersist()
-    out
+    try use(out)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      e.unpersist(); trans.unpersist(); nodes.unpersist()
+      // the final iteration's checkpoint blocks
+      org.apache.spark.sql.graft.CheckpointBlocks.release(ranks)
+      ()
+    }
   }
 }

@@ -443,10 +443,15 @@ class OpsSpec extends AnyFunSuite {
       rank = nodes.map(x => x -> ((1 - d) / n + d * in.getOrElse(x, 0.0))).toMap
     }
     def run(parts: Int) = graft.kg.GraphOps.pageRank(
-        edges.toDF("src", "dst", "weight").repartition(parts), iters, d)
-      .collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pagerank")).toMap
+        edges.toDF("src", "dst", "weight").repartition(parts), iters, d) {
+      _.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pagerank"))
+        .toMap
+    }
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
     val out = run(4)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"pageRank leaked persisted blocks: $leaked")
     nodes.foreach(x => assert(math.abs(out(x) - rank(x)) < 1e-9, s"node $x"))
     assert(math.abs(out.values.sum - 1.0) < 1e-6, "rank mass must sum to 1")
     assert(run(1) == out, "pagerank must be partitioning-invariant")

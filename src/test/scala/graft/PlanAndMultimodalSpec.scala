@@ -67,6 +67,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(800))
   }
 
+  test("duplicate span intervals: island agg reuses the window's doc partitioning") {
+    // The gaps-and-islands tail (two analytic windows + the island groupBy)
+    // must share ONE doc_id exchange: HashPartitioning(doc_id) satisfies
+    // ClusteredDistribution(doc_id, island), so the final aggregate may not
+    // plan its own shuffle — the property the operator's 100 TB cost story
+    // (per-doc state only, no extra corpus pass) rests on.
+    val q = SparkEntry.queries("q36_dup_spans")(spark, sfDir)
+    val plan = planOf(q)
+    assert(!"Exchange hashpartitioning\\([^)]*island".r
+        .findFirstIn(plan).isDefined,
+      s"island groupBy planned its own exchange:\n${plan.take(1500)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 4, s"$n hash exchanges (expect: span-df pair, span join, " +
+      s"doc window; plus the distinct):\n${plan.take(1500)}")
+  }
+
   test("partKey-partitioned docs table prunes partitions on the district filter") {
     val s = spark
     import s.implicits._
