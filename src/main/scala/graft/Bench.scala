@@ -478,6 +478,15 @@ object Bench {
          |(hot-on-bcast = ${skew.hotOnBcast}) — its doc mass never enters the
          |shuffle.
          |
+         |Attribution note (late round 5): scoring task time is summed over
+         |the stages that actually RAN the scoring kernel (registered by the
+         |kernel itself, `Linker.ScoringStageIds`) — not the session's
+         |max-taskSum stage, which warmup or the post-timing route recompute
+         |could win. A ratio well below 1 is expected when the hot district
+         |rides the broadcast route: that kernel streams docs against a
+         |query-side inverted index with no blob unpack or cell cogroup, so
+         |its per-pair cost undercuts the shuffle-cell kernel's.
+         |
          || input | best sec | samples | canary | pairs (G) | scoring ms/Mpair | wall sec/Gpair | hot-district doc share | hot-district queries | bcast districts | hot on bcast route | shuffle cells | scoring taskSum ms | taskMax ms | imbalance | tasks |
          ||---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|
          |${row(uni)}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.data.SynthCorpus
 import graft.kg.KgPipeline
 import graft.link.{Dict, Linker}
-import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
+import graft.ops.{AnnOps, ClusterOps, DedupOps, MultimodalOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), plus DuckDB oracle SQL for every SQL-expressible one.
@@ -652,6 +652,28 @@ object SparkEntry {
         .select("doc_id", "n_bigrams", "avg_logprob")
         .orderBy("doc_id")
     }),
+    "q38_kmeans" -> ((s, dir) => {
+      // Spherical Lloyd's k-means (fixed 3 iterations, k=8, hash-sampled
+      // deterministic init — the q23 centroid pattern) with every centroid
+      // component rounded to 9 decimals per update, so the DuckDB oracle
+      // replays the whole Lloyd loop as chained CTEs from the materialized
+      // kmeans_init stage table and must land on identical assignments.
+      val emb = t(s, dir, "embeddings")
+      ClusterOps.kmeans(emb, KmeansK, KmeansIters,
+          AnnOps.ivfCentroids(emb, KmeansK))._1
+        .orderBy("vec_id")
+    }),
+    "q39_semdedup" -> ((s, dir) => {
+      // SemDedup (Abbas et al. 2023): cluster first, then prune
+      // near-duplicates INSIDE each cluster — pair work collapses from
+      // O(N²) to Σ|cluster|². Drop rule: any lower-id cluster-mate with
+      // round(cos, 6) ≥ τ (greedy keep-first-by-id; an EXISTS in the
+      // oracle).
+      val emb = t(s, dir, "embeddings")
+      ClusterOps.semDedup(emb, KmeansK, KmeansIters, SemDedupTau,
+          AnnOps.ivfCentroids(emb, KmeansK))
+        .orderBy("vec_id")
+    }),
     "q29_stratified_sample" -> ((s, dir) => {
       // Deterministic per-language rebalancing (cap the head, keep the tail)
       // via hash-threshold keep decisions — stable across engines, retries,
@@ -958,6 +980,11 @@ object SparkEntry {
     w(s.createDataset(
         AnnOps.ivfCentroids(t(s, dir, "embeddings"), 64).toSeq)
       .toDF("cell", "cvec"), "ivf_centroids")
+    // q38/q39 Lloyd init (k=8): same deterministic hash-sampled pick; the
+    // oracle iterates the whole k-means chain from these exact doubles.
+    w(s.createDataset(
+        AnnOps.ivfCentroids(t(s, dir, "embeddings"), KmeansK).toSeq)
+      .toDF("cell", "cvec"), "kmeans_init")
     w(MultimodalOps.synthesize(s, n.toLong, seed = 11)
       .toDF().select(col("media_id"), col("modality"), col("width"),
         col("height"), col("content_len")), "media_meta")
@@ -1498,6 +1525,16 @@ object SparkEntry {
     "q32_pii_redact" -> q32OracleSql,
     "q34_epoch_shards" -> q34OracleSql,
     "q35_pagerank" -> q35OracleSql,
+    "q38_kmeans" -> (kmeansChainSql + """
+       SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
+       ORDER BY vec_id"""),
+    "q39_semdedup" -> (kmeansChainSql + s"""
+       SELECT a.vec_id, a.cluster,
+         EXISTS (SELECT 1 FROM af b
+           WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+             AND round(list_cosine_similarity(a.dv, b.dv), 6) >= $SemDedupTau)
+         AS dropped
+       FROM af a ORDER BY a.vec_id"""),
     "q36_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                     FROM documents),
@@ -2086,6 +2123,55 @@ object SparkEntry {
   }
 
   /** q29 strata: cap the over-represented head language, keep the tail. */
+  // q38/q39 clustering contract — shared by the Spark queries, the
+  // kmeans_init stage table, and the generated oracle chain.
+  private[graft] val KmeansK = 8
+  private[graft] val KmeansIters = 3
+  private[graft] val SemDedupTau = 0.4
+
+  /** The Lloyd chain as DuckDB CTEs: assignment (rank-1 by cosine desc,
+    * cluster asc — the argmax-with-lowest-cluster-tie contract), component
+    * means rounded to 9, L2-normalize, round 9 again, empty/zero-norm
+    * clusters keeping their previous centroid — step for step the
+    * `ClusterOps.kmeans` update rule, iterated from the SAME materialized
+    * init table the Spark query derives. `af` is the final predict pass. */
+  private def kmeansChainSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+           FROM embeddings),
+         c0 AS (SELECT cell AS cluster, cvec AS cv FROM ${sp("kmeans_init")})"""
+    for (i <- 1 to KmeansIters) {
+      sb ++= s""",
+         a$i AS (SELECT vec_id, dv, cluster FROM (
+             SELECT e.vec_id, e.dv, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.dv, c.cv) DESC, c.cluster)
+                 AS rn
+             FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         m$i AS (SELECT cluster, i AS pos, round(avg(dv[i]), 9) AS mx
+             FROM a$i CROSS JOIN (SELECT CAST(unnest(generate_series(1, 64))
+               AS INT) AS i) ix
+             GROUP BY cluster, i),
+         n$i AS (SELECT cluster, sqrt(sum(mx*mx)) AS nrm FROM m$i
+             GROUP BY cluster),
+         c$i AS (SELECT p.cluster, coalesce(agg.cv, p.cv) AS cv
+             FROM c${i - 1} p LEFT JOIN (
+               SELECT m.cluster, list(round(m.mx / n.nrm, 9) ORDER BY m.pos)
+                 AS cv
+               FROM m$i m JOIN n$i n USING (cluster) WHERE n.nrm > 0
+               GROUP BY m.cluster) agg USING (cluster))"""
+    }
+    sb ++= s""",
+         af AS (SELECT vec_id, dv, cluster, cos FROM (
+             SELECT e.vec_id, e.dv, c.cluster,
+               list_cosine_similarity(e.dv, c.cv) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.dv, c.cv) DESC, c.cluster)
+                 AS rn
+             FROM e CROSS JOIN c$KmeansIters c) WHERE rn = 1)"""
+    sb.toString
+  }
+
   private[graft] val Q29Rates = Map("en" -> 0.3, "zh" -> 0.8)
   private[graft] val Q29DefaultRate = 0.6
 

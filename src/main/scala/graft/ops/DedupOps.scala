@@ -316,7 +316,12 @@ object DedupOps {
     * are re-`localCheckpoint`ed per round: an iterative DataFrame loop
     * otherwise re-analyzes a plan tree that doubles each round (on a
     * multi-executor cluster use `spark.sparkContext.setCheckpointDir` +
-    * `.checkpoint()` for lineage that survives executor loss).
+    * `.checkpoint()` for lineage that survives executor loss). Each round
+    * frees the PREVIOUS round's checkpoint blocks deterministically
+    * (`CheckpointBlocks.release`); only the final round's blocks back the
+    * returned DataFrame — callers that materialize the result in a
+    * long-lived session can free those too by passing the result through
+    * `CheckpointBlocks.release` once written.
     *
     * Convergence is detected EXACTLY (set equality via anti-join on the
     * canonically-oriented edge set), not via a hash checksum — a false
@@ -360,6 +365,10 @@ object DedupOps {
       // ⇔ identical sets.
       done = next.count() == e.count() &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // next is materialized and the convergence check above was the last
+      // reader of the old round — free its checkpoint blocks now instead
+      // of waiting for the ContextCleaner's post-GC sweep.
+      org.apache.spark.sql.graft.CheckpointBlocks.release(e)
       e = next
       round += 1
     }

@@ -457,6 +457,82 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1) == out, "pagerank must be partitioning-invariant")
   }
 
+  test("kmeans matches a naive Lloyd reference; partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.ClusterOps
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 3; val iters = 3
+    val init = AnnOps.ivfCentroids(df, k)
+
+    // Naive sequential Lloyd with the EXACT update contract (round-9 means,
+    // normalize, round-9; empty/zero-norm freezes; argmax ties to lowest).
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    def argmax(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestC = cos(v, cs(0)); var c = 1
+      while (c < cs.length) {
+        val x = cos(v, cs(c)); if (x > bestC) { best = c; bestC = x }; c += 1
+      }
+      best
+    }
+    val dvs = rows.map { case (id, v) => id -> v.map(_.toDouble) }
+    var cs = init.sortBy(_._1).map(_._2)
+    for (_ <- 1 to iters) {
+      val byCl = dvs.groupBy { case (_, v) => argmax(v, cs) }
+      cs = cs.zipWithIndex.map { case (prev, cl) =>
+        byCl.get(cl) match {
+          case None => prev
+          case Some(members) =>
+            val m = Array.tabulate(8)(p =>
+              r9(members.map(_._2(p)).sum / members.size))
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm == 0) prev else m.map(x => r9(x / nrm))
+        }
+      }
+    }
+    val want = dvs.map { case (id, v) =>
+      val cl = argmax(v, cs); id -> ((cl, cos(v, cs(cl))))
+    }.toMap
+
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ClusterOps.kmeans(d, k, iters, init)._1.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cluster"), r.getAs[Double]("cos")))).toMap
+    val out = run(df)
+    want.foreach { case (id, (cl, c)) =>
+      assert(out(id)._1 == cl, s"vec $id cluster")
+      assert(math.abs(out(id)._2 - c) < 6e-7, s"vec $id cos") // round-6 grid
+    }
+    assert(run(df.repartition(7)) == out, "kmeans must be partitioning-invariant")
+
+    // SemDedup drop rule: lower-id cluster-mate with round(cos,6) >= tau.
+    val tau = 0.2
+    val wantDrop = dvs.map { case (id, v) =>
+      val cl = argmax(v, cs)
+      id -> dvs.exists { case (jd, w) =>
+        jd < id && argmax(w, cs) == cl &&
+          BigDecimal(cos(v, w)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble >= tau
+      }
+    }.toMap
+    val drops = ClusterOps.semDedup(df, k, iters, tau, init).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    assert(drops == wantDrop)
+    assert(drops.values.exists(identity), "tau chosen so some vectors drop")
+    assert(!drops.values.forall(identity), "and some survive")
+  }
+
   test("epoch shards: exact prefix offsets, budget cuts, parallelism-invariant") {
     val s = spark
     import s.implicits._
