@@ -423,10 +423,20 @@ object Bench {
           // cogroup stage — a single max-stage pick undercounts split
           // routes).
           require(scoringIds.nonEmpty, "no scoring stage ran in timed window")
+          // ScoringStageIds fills synchronously task-side, but sums/maxes
+          // arrive via the ASYNC listener bus — wait (bounded) for every
+          // registered stage's task events to land before reading, and
+          // degrade to 0 rather than crash if the bus dropped events.
+          locally {
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            while (!scoringIds.forall(sums.containsKey(_)) &&
+                System.nanoTime() < deadline) Thread.sleep(50)
+          }
           val sSum = scoringIds.iterator
             .flatMap(id => Option(sums.get(id)).map(_.sum)).sum
-          val sMax = scoringIds.iterator
-            .flatMap(id => Option(maxes.get(id)).map(_.get)).max
+          val sMaxSeq = scoringIds.iterator
+            .flatMap(id => Option(maxes.get(id)).map(_.get)).toSeq
+          val sMax = if (sMaxSeq.isEmpty) 0L else sMaxSeq.max
           val sTasks = scoringIds.iterator
             .flatMap(id => Option(counts.get(id)).map(_.sum)).sum
           val run = SkewRun(label, sec, Nil, canary, nTurns, linked,

@@ -139,13 +139,11 @@ object SparkEntry {
     import s.implicits._
     val (corpus, _) = kgInputs(s, dir)
     val b = bdict(s)
-    // Bounded collect: the DISTINCT (district, name) place-name vocabulary
-    // (same argument as KgPipeline.growDict, which this inlines so the
-    // candidate pass is shared with the side table below).
-    val cand = Linker.townCandidates(s, corpus, b).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val d2 = graft.link.Dict.withDiscoveredTowns(b.value, cand)
-    val b2 = s.sparkContext.broadcast(d2)
+    // growDict = ONE full-corpus candidate pass + merge (the documented
+    // canonicalization entry point); the check's side table below derives
+    // from the merged tree's new regions, so no second discovery pass runs.
+    val b2 = KgPipeline.growDict(s, corpus, b)
+    val d2 = b2.value
     val baseIds = b.value.regions.all.iterator.map(_.id).toSet
     val newRegions = d2.regions.all.filter(r => !baseIds.contains(r.id))
     val newNames: Map[Long, String] =
@@ -670,9 +668,12 @@ object SparkEntry {
       // round(cos, 6) ≥ τ (greedy keep-first-by-id; an EXISTS in the
       // oracle).
       val emb = t(s, dir, "embeddings")
+      // Loan-pattern: stash INSIDE use so the persisted clustered-vector
+      // table frees on return.
       ClusterOps.semDedup(emb, KmeansK, KmeansIters, SemDedupTau,
-          AnnOps.ivfCentroids(emb, KmeansK))
-        .orderBy("vec_id")
+          AnnOps.ivfCentroids(emb, KmeansK)) { out =>
+        stash(s, out.orderBy("vec_id"), "q39_semdedup")
+      }
     }),
     "q29_stratified_sample" -> ((s, dir) => {
       // Deterministic per-language rebalancing (cap the head, keep the tail)
@@ -2128,6 +2129,11 @@ object SparkEntry {
   private[graft] val KmeansK = 8
   private[graft] val KmeansIters = 3
   private[graft] val SemDedupTau = 0.4
+  // Dimension of the harness's embeddings table — the oracle's mean CTE
+  // iterates positions 1..EmbDim explicitly (DuckDB would yield NULL past
+  // the list end and silently freeze every centroid); the Spark side
+  // adapts to the data, so a dimension change must only touch this val.
+  private[graft] val EmbDim = 64
 
   /** The Lloyd chain as DuckDB CTEs: assignment (rank-1 by cosine desc,
     * cluster asc — the argmax-with-lowest-cluster-tie contract), component
@@ -2149,8 +2155,8 @@ object SparkEntry {
                  AS rn
              FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
          m$i AS (SELECT cluster, i AS pos, round(avg(dv[i]), 9) AS mx
-             FROM a$i CROSS JOIN (SELECT CAST(unnest(generate_series(1, 64))
-               AS INT) AS i) ix
+             FROM a$i CROSS JOIN (SELECT CAST(unnest(
+               generate_series(1, $EmbDim)) AS INT) AS i) ix
              GROUP BY cluster, i),
          n$i AS (SELECT cluster, sqrt(sum(mx*mx)) AS nrm FROM m$i
              GROUP BY cluster),

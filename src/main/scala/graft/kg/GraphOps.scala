@@ -59,58 +59,70 @@ object GraphOps {
     val spark = edges.sparkSession
     // The edge list often arrives with an expensive lineage (the co-mention
     // self-join over the full pipeline); it is read twice below (node list,
-    // transition table) — cache it for the duration.
+    // transition table) — cache it for the duration. Everything after this
+    // persist runs inside the try: a mid-iteration failure must still
+    // restore the session's shuffle-partition setting and release every
+    // cache/checkpoint (the leak class the loan pattern exists to prevent).
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val ud = e.select(col("src"), col("dst"),
-        col("weight").cast("double").as("w"))
-      .union(e.select(col("dst").as("src"), col("src").as("dst"),
-        col("weight").cast("double").as("w")))
-    val nodes = ud.select(col("src").as("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // bounded: distinct entity ids, one action
-    require(n > 0, "pageRank needs a non-empty edge list")
-    val outW = ud.groupBy("src").agg(sum("w").as("out_w"))
-    val trans = ud.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val m = trans.count() // materialize once; iterations re-read the blocks
-    // Size the ITERATION shuffles to the graph, not the session default:
-    // the sessions here pin spark.sql.shuffle.partitions to corpus width
-    // with AQE coalescing off (the scoring-cell requirement), so a graph
-    // orders of magnitude smaller than the corpus would otherwise pay
-    // corpus-width task-launch overhead × stages × iterations (measured:
-    // ~6s/iteration on a 6.6k-node graph at 64 partitions). ~50k rows per
-    // partition, capped at 4× cluster width for genuinely large graphs;
-    // restored in the finally below.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(math.max(n, m) / 50000L + 1,
-        4L * spark.sparkContext.defaultParallelism)).toString)
-    val base = (1.0 - damping) / n
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
-    var it = 0
-    while (it < iters) {
-      val next = trans.join(ranks, trans("src") === ranks("id"))
-        .groupBy(trans("dst").as("nid"))
-        .agg(sum(col("p") * col("rank")).as("inflow"))
-        .join(nodes, nodes("id") === col("nid"), "right")
-        .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint(true) // eager: materialized before the old blocks go
-      org.apache.spark.sql.graft.CheckpointBlocks.release(ranks)
-      ranks = next
-      it += 1
-    }
-    val out = ranks.select(col("id").as("doc_id"),
-      round(col("rank"), 9).as("pagerank"))
-    try use(out)
-    finally {
+    var nodes: DataFrame = null
+    var trans: DataFrame = null
+    var ranks: DataFrame = null
+    try {
+      val ud = e.select(col("src"), col("dst"),
+          col("weight").cast("double").as("w"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight").cast("double").as("w")))
+      nodes = ud.select(col("src").as("id")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count() // bounded: distinct entity ids, one action
+      if (n == 0)
+        // No edges (e.g. a scale where no rank-1 co-mentions exist): empty
+        // result with the right schema — the oracle likewise returns 0 rows.
+        return use(e.select(col("src").as("doc_id"),
+          lit(0.0).as("pagerank")).where(lit(false)))
+      val outW = ud.groupBy("src").agg(sum("w").as("out_w"))
+      trans = ud.join(outW, "src")
+        .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = trans.count() // materialize once; iterations re-read the blocks
+      // Size the ITERATION shuffles to the graph, not the session default:
+      // the sessions here pin spark.sql.shuffle.partitions to corpus width
+      // with AQE coalescing off (the scoring-cell requirement), so a graph
+      // orders of magnitude smaller than the corpus would otherwise pay
+      // corpus-width task-launch overhead × stages × iterations (measured:
+      // ~6s/iteration on a 6.6k-node graph at 64 partitions). ~50k rows per
+      // partition, capped at 4× cluster width for genuinely large graphs;
+      // restored in the finally below.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(math.max(n, m) / 50000L + 1,
+          4L * spark.sparkContext.defaultParallelism)).toString)
+      val base = (1.0 - damping) / n
+      ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+        .localCheckpoint(true)
+      var it = 0
+      while (it < iters) {
+        val next = trans.join(ranks, trans("src") === ranks("id"))
+          .groupBy(trans("dst").as("nid"))
+          .agg(sum(col("p") * col("rank")).as("inflow"))
+          .join(nodes, nodes("id") === col("nid"), "right")
+          .select(col("id"),
+            (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+              .as("rank"))
+          .localCheckpoint(true) // eager: materialized before old blocks go
+        org.apache.spark.sql.graft.CheckpointBlocks.release(ranks)
+        ranks = next
+        it += 1
+      }
+      use(ranks.select(col("id").as("doc_id"),
+        round(col("rank"), 9).as("pagerank")))
+    } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      e.unpersist(); trans.unpersist(); nodes.unpersist()
+      e.unpersist()
+      if (nodes != null) { nodes.unpersist(); () }
+      if (trans != null) { trans.unpersist(); () }
       // the final iteration's checkpoint blocks
-      org.apache.spark.sql.graft.CheckpointBlocks.release(ranks)
+      if (ranks != null) org.apache.spark.sql.graft.CheckpointBlocks.release(ranks)
       ()
     }
   }

@@ -60,7 +60,7 @@ object Dict {
         if (regions.get(did) == null) Nil
         else {
           val base = townIdBase(regions, did)
-          rows.map(_._2).distinct.sorted.zipWithIndex.flatMap {
+          rows.map(_._2).distinct.sortWith(codePointLess).zipWithIndex.flatMap {
             case (name, rank) =>
               val t = name.charAt(name.length - 1) match {
                 case '镇' | '乡' => graft.model.RegionTypes.Town
@@ -74,6 +74,23 @@ object Dict {
       }
     val merged = new Regions(regions.all ++ newRegions)
     new Dict(merged, new TermIndex(merged, Regions.IgnoreList))
+  }
+
+  /** CODE-POINT string order — the collation `discoverTowns`' Spark
+    * `orderBy(name)` actually uses (UTF8String compares UTF-8 bytes, which
+    * preserves code-point order). Scala's default `String` ordering is
+    * UTF-16 code-UNIT order, which DISAGREES for supplementary-plane
+    * characters (a CJK Extension-B surrogate pair 0xD840… sorts below
+    * U+E000–U+FFFF there but above in code-point order) — sorting the merge
+    * with it would silently hand out swapped ids versus the towns table. */
+  private def codePointLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length // a exhausted first ⇒ a < b
   }
 
   /** First free id in a district's discovered-town block (reference

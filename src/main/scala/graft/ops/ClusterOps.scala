@@ -88,24 +88,33 @@ object ClusterOps {
     * bound the clustering exists to provide; the self-join is cluster-keyed
     * so a hash join, never a cartesian product.
     *
-    * Output: (idCol, cluster, dropped: boolean). */
-  def semDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+    * Loan-pattern like [[graft.kg.GraphOps.pageRank]]: the clustered-vector
+    * table feeds BOTH self-join sides and the output projection, so it is
+    * persisted for the duration and released after `use` materializes the
+    * result — otherwise each consumer would re-scan the corpus and re-run
+    * the k-cosine assignment projection.
+    *
+    * Result columns: (idCol, cluster, dropped: boolean). */
+  def semDedup[T](emb: DataFrame, k: Int, iters: Int, threshold: Double,
       init: Array[(Int, Array[Double])], idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding")(use: DataFrame => T): T = {
     val (assigned, _) = kmeans(emb, k, iters, init, idCol, vecCol)
     val dv = col(vecCol).cast("array<double>")
     val withVec = emb.select(col(idCol), dv.as("dv"))
       .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
-    val l = withVec.select(col(idCol).as("lid"), col("dv").as("lv"),
-      col("cluster"))
-    val r = withVec.select(col(idCol).as("rid"), col("dv").as("rv"),
-      col("cluster"))
-    val droppedIds = l.join(r, Seq("cluster"))
-      .where(col("rid") < col("lid") &&
-        round(AnnOps.cosine(col("lv"), col("rv")), 6) >= threshold)
-      .select(col("lid").as(idCol)).distinct()
-    withVec.select(col(idCol), col("cluster"))
-      .join(droppedIds.withColumn("dropped", lit(true)), Seq(idCol), "left")
-      .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l = withVec.select(col(idCol).as("lid"), col("dv").as("lv"),
+        col("cluster"))
+      val r = withVec.select(col(idCol).as("rid"), col("dv").as("rv"),
+        col("cluster"))
+      val droppedIds = l.join(r, Seq("cluster"))
+        .where(col("rid") < col("lid") &&
+          round(AnnOps.cosine(col("lv"), col("rv")), 6) >= threshold)
+        .select(col("lid").as(idCol)).distinct()
+      use(withVec.select(col(idCol), col("cluster"))
+        .join(droppedIds.withColumn("dropped", lit(true)), Seq(idCol), "left")
+        .withColumn("dropped", coalesce(col("dropped"), lit(false))))
+    } finally { withVec.unpersist(); () }
   }
 }

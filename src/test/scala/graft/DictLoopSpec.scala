@@ -82,6 +82,26 @@ class DictLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("merge sorts names by code point (the Spark/DuckDB collation), not UTF-16 units") {
+    // U+20000 (CJK Ext-B, a surrogate pair starting 0xD840) vs U+FA00 (CJK
+    // Compatibility Ideograph): Scala's default String ordering (UTF-16
+    // code units) puts the surrogate FIRST; code-point order — what Spark's
+    // UTF8String byte compare and DuckDB's binary collation use, i.e. what
+    // discoverTowns' orderBy(name) and the kg_towns oracle rank by — puts
+    // it LAST. The merge must hand out ids in the latter order or the two
+    // assigners silently swap ids for such names.
+    val did = d0.regions.all.find(_.regionType == RegionTypes.District).get.id
+    val extB = new String(Character.toChars(0x20000)) + "村"
+    val compat = "\uFA00" + "村"
+    assert(Seq(extB, compat).sorted == Seq(extB, compat),
+      "precondition: UTF-16 order differs from code-point order here")
+    val d2 = Dict.withDiscoveredTowns(d0, Seq((did, extB), (did, compat)))
+    val newRs = d2.regions.all.filterNot(r => d0.regions.byId.contains(r.id))
+      .sortBy(_.id)
+    assert(newRs.map(_.name) == Seq(compat, extB),
+      s"ids must follow code-point order: ${newRs.map(r => (r.id, r.name))}")
+  }
+
   test("second interpret pass resolves discovered towns as Town/Village regions") {
     val (b, corpus, _, b2, _, newRegions) = fixtures
     val newIds = newRegions.map(_.id).toSet

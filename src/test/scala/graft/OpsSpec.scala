@@ -526,8 +526,11 @@ class OpsSpec extends AnyFunSuite {
             .toDouble >= tau
       }
     }.toMap
-    val drops = ClusterOps.semDedup(df, k, iters, tau, init).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    val drops = ClusterOps.semDedup(df, k, iters, tau, init) {
+      _.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped"))
+        .toMap
+    }
     assert(drops == wantDrop)
     assert(drops.values.exists(identity), "tau chosen so some vectors drop")
     assert(!drops.values.forall(identity), "and some survive")
