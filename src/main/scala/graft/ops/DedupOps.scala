@@ -165,16 +165,26 @@ object DedupOps {
     * integers end-to-end, so the DuckDB oracle (same gaps-and-islands in
     * SQL) matches without any float contract. */
   def duplicateSpanIntervals(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 8, minDf: Int = 2): DataFrame = {
+      textCol: String = "text", n: Int = 8, minDf: Int = 2,
+      hashSpans: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = split(trim(col(textCol)), "\\s+")
     val nw = size(words)
     val idxs = when(nw >= n, sequence(lit(1), nw - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val pos = docs.select(col(idCol).as("sid"),
+    val rawPos = docs.select(col(idCol).as("sid"),
       explode(transform(idxs, i => struct(i.as("i"),
         concat_ws(" ", slice(words, i, lit(n))).as("span")))).as("ps"))
       .select(col("sid"), col("ps.i").as("i"), col("ps.span").as("span"))
+    // hashSpans = the corpus-scale path: span STRINGS (n words each) become
+    // xxhash64 keys before the distinct/df shuffle and join back, cutting
+    // the shuffled key bytes ~6× at n=8 (collision odds ~2⁻⁶⁴ per pair).
+    // Off for the driver query so the DuckDB oracle can regroup the raw
+    // strings; OpsSpec pins hashed == raw.
+    val pos =
+      if (hashSpans)
+        rawPos.select(col("sid"), col("i"), xxhash64(col("span")).as("span"))
+      else rawPos
     val dup = pos.select("sid", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("span_df"))
       .where(col("span_df") >= minDf)

@@ -374,6 +374,15 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L, 1L, 8L, 8L), (1L, 2L, 17L, 24L, 8L))
     assert(out == expect)
     assert(run(1) == out, "interval merge must be partitioning-invariant")
+    // The corpus-scale path (xxhash64 span keys instead of n-word strings
+    // in the shuffle) must emit the identical interval set.
+    val hashed = DedupOps.duplicateSpanIntervals(df, hashSpans = true)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_idx"),
+        r.getAs[Long]("start_word"), r.getAs[Long]("end_word"),
+        r.getAs[Long]("span_words")))
+      .toSet
+    assert(hashed == out, "hashed-span path must equal the raw-span path")
 
     // A LONGER shared run (9 words = 2 overlapping windows) merges into one
     // maximal interval instead of two window rows.
