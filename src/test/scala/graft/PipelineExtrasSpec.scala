@@ -283,6 +283,11 @@ class StreamingSpec extends AnyFunSuite {
       new java.util.ArrayList[(String, String, String, String, Long)]())
     val ckpt = Files.createTempDirectory("graft-linkstream").toString
     val input = MemoryStream[Turn]
+    // Materialize the test's own caches NOW: a lazy Dataset persist only
+    // registers its RDD at first use, which would otherwise happen inside
+    // the stream and masquerade as an index leak below.
+    docs.count(); idf.count()
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
     val h = graft.streaming.TranscriptStream.linkStream(
         s, input.toDS(), bdict, docs, idf, topN = 3, ckpt) { (triples, _) =>
       triples.collect().foreach(t => got.add(
@@ -296,6 +301,11 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(turns.drop(25))
       h.query.processAllAvailable()
     } finally h.close()
+    // close() must release the persisted static-side index in full — a
+    // long-lived session would otherwise strand one packed corpus copy per
+    // stream invocation.
+    val leakedIdx = s.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leakedIdx.isEmpty, s"linkStream index leaked blocks: $leakedIdx")
     import scala.jdk.CollectionConverters._
     val streamed = got.asScala.toSet
 
