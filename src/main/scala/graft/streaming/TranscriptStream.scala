@@ -111,7 +111,26 @@ object TranscriptStream {
     // size. Output is bit-identical to the per-batch `linkTopKAuto` this
     // replaces (LinkIndexSpec + StreamingSpec stream==batch).
     val index = graft.link.LinkIndex.build(spark, docs, idf = Some(idf))
-    val query = turns.writeStream
+    LinkStreamHandle(
+      linkStreamWith(spark, turns, dict, index, topN, checkpointDir)(sink),
+      index)
+  }
+
+  /** [[linkStream]] against a CALLER-OWNED [[graft.link.LinkIndex]] — the
+    * production shape of the continuous loop: one index serves many stream
+    * incarnations, and between them the caller GROWS it in place
+    * (`index.appended` for an imported corpus delta, `index.withIdf` for
+    * the refreshed term statistics) without ever repacking the historical
+    * bytes. The caller keeps lifecycle responsibility: stop the query, then
+    * `index.unpersist()` once the LAST generation retires (StreamingSpec
+    * pins the full grow-then-stream round trip against the batch link). */
+  def linkStreamWith(spark: SparkSession, turns: Dataset[Turn],
+      dict: Broadcast[Dict], index: graft.link.LinkIndex, topN: Int,
+      checkpointDir: String)(
+      sink: (Dataset[graft.model.Triple], Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    turns.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
@@ -128,7 +147,6 @@ object TranscriptStream {
         } finally { mentions.unpersist(); () }
       }
       .start()
-    LinkStreamHandle(query, index)
   }
 
   /** A running [[linkStream]] plus the persisted static-side index backing

@@ -327,6 +327,68 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist(); idf.unpersist()
   }
 
+  test("continuous growth loop: index appended between stream incarnations == batch per epoch") {
+    // The production shape of the reference's import-loop + our stream: ONE
+    // caller-owned LinkIndex serves stream incarnation #1, is grown IN
+    // PLACE (appended delta docs + refreshed idf cells — historical bytes
+    // never repacked), then serves incarnation #2. Each epoch's triples
+    // must equal the one-shot batch link against that epoch's corpus,
+    // bit-identical scores included.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val bdict = s.sparkContext.broadcast(d0)
+    val corpusRows = SynthCorpus.corpus(d0.regions, 300, 4, seed = 61)
+    val (first, delta) = corpusRows.splitAt(220)
+    def docsOf(rows: Seq[(Long, String)]) =
+      graft.link.Linker.buildDocs(s, s.createDataset(rows).repartition(5),
+        bdict)
+    val turns = SynthCorpus.transcripts(d0.regions, 50, 4, seed = 62)
+    val (t1, t2) = turns.splitAt(25)
+
+    def key(t: graft.model.Triple) = (t.subj, t.pred, t.obj, t.partKey,
+      java.lang.Double.doubleToLongBits(t.score))
+    def runEpoch(index: graft.link.LinkIndex, rows: Seq[Turn]) = {
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, String, String, String, Long)]())
+      val ckpt = Files.createTempDirectory("graft-grow").toString
+      val input = MemoryStream[Turn]
+      val q = graft.streaming.TranscriptStream.linkStreamWith(
+          s, input.toDS(), bdict, index, 3, ckpt) { (triples, _) =>
+        triples.collect().foreach(t => got.add(key(t))); ()
+      }
+      try { input.addData(rows); q.processAllAvailable() } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    def batchRef(rows: Seq[Turn], corpus: Seq[(Long, String)]) = {
+      val docs = docsOf(corpus)
+      val idf = graft.link.Linker.buildIdf(s, docs)
+      val mentions = graft.kg.KgPipeline.stampQueryIdf(s,
+        graft.kg.KgPipeline.detectMentions(s, s.createDataset(rows), bdict),
+        idf)
+      val hits = graft.link.Linker.linkTopKAuto(s, mentions.map(_.doc), docs,
+        3, idf = Some(idf))
+      graft.kg.KgPipeline.mentionTriples(s, mentions, bdict)
+        .union(graft.kg.KgPipeline.linkTriples(s, mentions, hits))
+        .collect().map(key).toSet
+    }
+
+    val idf0 = graft.link.Linker.buildIdf(s, docsOf(first))
+    val gen0 = graft.link.LinkIndex.build(s, docsOf(first), idf = Some(idf0))
+    val epoch1 = runEpoch(gen0, t1)
+    assert(epoch1 == batchRef(t1, first))
+
+    val gen1 = gen0.appended(s, docsOf(delta))
+      .withIdf(s, graft.link.Linker.buildIdf(s, docsOf(corpusRows)))
+    val epoch2 = runEpoch(gen1, t2)
+    assert(epoch2 == batchRef(t2, corpusRows))
+    assert(epoch2.exists(_._2 == "linkedTo"))
+    gen1.unpersist() // frees the whole generation chain (owned walk)
+  }
+
   test("streaming near-dup vs static corpus == batch LSH join; exact dups always found") {
     val s = spark
     import s.implicits._
