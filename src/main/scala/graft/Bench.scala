@@ -168,10 +168,14 @@ object Bench {
               false }
           name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
         }
-    // Heavy rows = the full-pipeline queries (kg_* and the streaming link):
-    // the rows round-4 contention actually distorted. They get a 3rd pass.
+    // Heavy rows = the full-pipeline queries (kg_*, the streaming link, and
+    // the graph-analytics rows that each run the whole pipeline to derive
+    // their co-mention edges): the rows round-4 contention actually
+    // distorted. They get a 3rd pass.
     def heavy(name: String): Boolean =
-      name.startsWith("kg_") || name == "q27_stream_link"
+      name.startsWith("kg_") || name == "q27_stream_link" ||
+        name == "q35_pagerank" || name == "q40_label_prop" ||
+        name == "q41_triangles"
     val passCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     def pass(only: String => Boolean): Seq[(String, Option[Double])] = {
       passCanaries += canarySec()

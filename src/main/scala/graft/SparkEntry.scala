@@ -437,6 +437,36 @@ object SparkEntry {
       scoped(s, dir, 5, "kg_comention")(r =>
         KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)
           .orderBy("src", "dst"))),
+    "kg_meta_triples" -> ((s, dir) => {
+      // Transcript-structure triples (role / tool / conversation membership)
+      // — the agent-action facet of the KG; narrow flatMap, fully oracled
+      // from the turns stage table.
+      val (_, turns) = kgInputs(s, dir)
+      KgPipeline.metadataTriples(s, turns).toDF()
+        .orderBy("subj", "pred", "obj")
+    }),
+    "kg_timeline" -> ((s, dir) => {
+      // Temporal facets per linked entity: first/last mention epoch-millis,
+      // mention count, distinct conversations — exact integers end-to-end,
+      // recomputed by DuckDB from the hits/mentions/turns stage tables.
+      val (corpus, turns) = kgInputs(s, dir)
+      val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+      try stash(s,
+        KgPipeline.entityTimeline(s, r.mentions, r.hits, turns)
+          .orderBy("doc_id"), "kg_timeline")
+      finally r.unpersistAll()
+    }),
+    "kg_tool_edges" -> ((s, dir) => {
+      // Tool→entity adjacency: which tools touch which canonical entities,
+      // weighted by conversation count — the transcript-specific KG
+      // adjacency product next to kg_comention.
+      val (corpus, turns) = kgInputs(s, dir)
+      val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+      try stash(s,
+        KgPipeline.toolEntityEdges(s, r.mentions, r.hits, turns)
+          .orderBy("tool", "doc_id"), "kg_tool_edges")
+      finally r.unpersistAll()
+    }),
     "kg_links_hydrated" -> ((s, dir) => {
       // D5 result hydration: link hits joined back to the corpus rows.
       import s.implicits._
@@ -633,6 +663,34 @@ object SparkEntry {
           }
         finally r.unpersistAll()
       }),
+    "q40_label_prop" -> ((s, dir) =>
+      // Community detection over the same materialized co-mention graph as
+      // q35: synchronous weighted label propagation, 4 fixed rounds, ties
+      // to the smallest label. Pure integer arithmetic (count weights), so
+      // the oracle's chained-CTE replay must agree EXACTLY, no rounding.
+      {
+        // Not scoped(): loan-pattern — stash INSIDE use so round
+        // checkpoints free on return (the q35 pattern).
+        val (corpus, turns) = kgInputs(s, dir)
+        val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+        try
+          graft.kg.GraphOps.labelPropagation(
+              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
+              iters = 4) { lp =>
+            stash(s, lp.orderBy("doc_id"), "q40_label_prop")
+          }
+        finally r.unpersistAll()
+      }),
+    "q41_triangles" -> ((s, dir) =>
+      // Per-entity triangle counts + local clustering coefficient on the
+      // co-mention graph (degree-ordered node-iterator — the oracle counts
+      // the same triangle set with the naive id-ordered 3-way join, so the
+      // orientation optimization is verified invisible).
+      scoped(s, dir, 5, "q41_triangles") { r =>
+        graft.kg.GraphOps.triangleStats(
+            KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1))
+          .orderBy("doc_id")
+      }),
     "q36_dup_spans" -> ((s, dir) => {
       // Exact-substring dedup CUT LIST (Lee et al. 2021): duplicated word-
       // 8-gram windows merged into maximal per-doc intervals via
@@ -740,6 +798,17 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       AnnOps.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 64,
           nProbe = 8)
+        .orderBy("qid", "rank")
+    }),
+    "q42_ann_pq" -> ((s, dir) => {
+      // PQ-compressed ANN (third index family — the MEMORY-scale path:
+      // m-byte codes instead of dim·4-byte floats, ADC lookup scan, exact
+      // re-rank of rerank·k candidates only). Fully oracled: DuckDB
+      // re-encodes every vector against the materialized pq_codebook stage
+      // table and replays ADC + re-rank.
+      val e = t(s, dir, "embeddings")
+      AnnOps.pqTopK(e, e.where(col("vec_id") < 10), k = 5, dim = EmbDim,
+          m = PqM, ks = PqKs, rerank = PqRerank)
         .orderBy("qid", "rank")
     }),
 
@@ -923,9 +992,11 @@ object SparkEntry {
     w(s.createDataset(dict.regions.all.map(r => (r.id, r.parentId)))
       .toDF("id", "parentId"), "regions")
     // Raw turn text keyed like mention subjects — the kg_mentions_check
-    // oracle verifies mention rows against their source turns.
-    w(turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.text))
-      .toDF("subj", "text"), "turns")
+    // oracle verifies mention rows against their source turns; role/tool/
+    // ts_ms feed the kg_meta_triples / kg_timeline / kg_tool_edges oracles.
+    w(turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.text, t.role,
+        Option(t.tool).getOrElse(""), t.ts.getTime))
+      .toDF("subj", "text", "role", "tool", "ts_ms"), "turns")
 
     val r = KgPipeline.run(s, turns, corpus, b, 5)
     w(r.hits.toDF(), "hits5")
@@ -986,6 +1057,12 @@ object SparkEntry {
     w(s.createDataset(
         AnnOps.ivfCentroids(t(s, dir, "embeddings"), KmeansK).toSeq)
       .toDF("cell", "cvec"), "kmeans_init")
+    // q42's PQ codebook: the deterministic hash-sampled subvector
+    // codewords — the oracle re-encodes every vector against these exact
+    // doubles and replays the ADC scan + re-rank.
+    w(s.createDataset(
+        AnnOps.pqCodebook(t(s, dir, "embeddings"), EmbDim, PqM, PqKs).toSeq)
+      .toDF("sub", "code", "cvec"), "pq_codebook")
     w(MultimodalOps.synthesize(s, n.toLong, seed = 11)
       .toDF().select(col("media_id"), col("modality"), col("width"),
         col("height"), col("content_len")), "media_meta")
@@ -1443,6 +1520,42 @@ object SparkEntry {
          SELECT a.docId AS src, b.docId AS dst, count(*) AS weight
          FROM l a JOIN l b ON a.convId = b.convId AND a.docId < b.docId
          GROUP BY a.docId, b.docId ORDER BY src, dst""",
+    "kg_meta_triples" ->
+      s"""WITH t AS (SELECT subj, role, tool,
+             split_part(subj, '#', 1) AS conv FROM ${sp("turns")})
+         SELECT subj, 'byRole' AS pred, role AS obj,
+           CAST(0.0 AS DOUBLE) AS score, '' AS partKey FROM t
+         UNION ALL
+         SELECT subj, 'usedTool' AS pred, tool AS obj,
+           CAST(0.0 AS DOUBLE) AS score, '' AS partKey FROM t
+         WHERE tool <> ''
+         UNION ALL
+         SELECT subj, 'inConversation' AS pred, conv AS obj,
+           CAST(0.0 AS DOUBLE) AS score, '' AS partKey FROM t
+         ORDER BY subj, pred, obj""",
+    "kg_timeline" ->
+      s"""SELECT h.docId AS doc_id,
+           min(t.ts_ms) AS first_ms, max(t.ts_ms) AS last_ms,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT split_part(m.subj, '#', 1)) AS BIGINT)
+             AS n_convs
+         FROM ${sp("hits5")} h
+         JOIN ${sp("mentions")} m ON h.queryId = m.queryId
+         JOIN ${sp("turns")} t ON t.subj = m.subj
+         WHERE h.rank <= 1
+         GROUP BY h.docId ORDER BY doc_id""",
+    "kg_tool_edges" ->
+      s"""WITH l AS (
+           SELECT DISTINCT split_part(m.subj, '#', 1) AS conv, h.docId
+           FROM ${sp("hits5")} h JOIN ${sp("mentions")} m
+             ON h.queryId = m.queryId
+           WHERE h.rank <= 1),
+         tc AS (SELECT DISTINCT split_part(subj, '#', 1) AS conv, tool
+                FROM ${sp("turns")} WHERE tool <> '')
+         SELECT tc.tool AS tool, l.docId AS doc_id,
+           CAST(count(*) AS BIGINT) AS weight
+         FROM l JOIN tc ON l.conv = tc.conv
+         GROUP BY tc.tool, l.docId ORDER BY tool, doc_id""",
     "kg_accuracy" ->
       s"""WITH c AS (SELECT count(*) AS n_queries,
            CAST(sum(CASE WHEN NOT interpreted THEN 1 ELSE 0 END) AS BIGINT)
@@ -1526,6 +1639,9 @@ object SparkEntry {
     "q32_pii_redact" -> q32OracleSql,
     "q34_epoch_shards" -> q34OracleSql,
     "q35_pagerank" -> q35OracleSql,
+    "q40_label_prop" -> q40OracleSql,
+    "q41_triangles" -> q41OracleSql,
+    "q42_ann_pq" -> q42OracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
        ORDER BY vec_id"""),
@@ -2102,6 +2218,133 @@ object SparkEntry {
        FROM r$iters ORDER BY doc_id"""
   }
 
+  /** Shared by q40/q41: the co-mention edge derivation from the hits/
+    * mentions stage tables — the same green kg_comention/q35 recompute,
+    * with the count weight kept BIGINT (q40's label sums are exact integer
+    * arithmetic; q41 ignores the weight). */
+  private def comentionEdgeCtes: String =
+    s"""l AS (
+         SELECT DISTINCT split_part(m.subj, '#', 1) AS convId, h.docId
+         FROM ${sp("hits5")} h JOIN ${sp("mentions")} m
+           ON h.queryId = m.queryId
+         WHERE h.rank <= 1),
+       e AS (SELECT a.docId AS src, b.docId AS dst,
+               CAST(count(*) AS BIGINT) AS w
+             FROM l a JOIN l b ON a.convId = b.convId AND a.docId < b.docId
+             GROUP BY a.docId, b.docId)"""
+
+  /** q40: semi-synchronous weighted label propagation replayed as chained
+    * CTEs — one CTE per HALF-STEP (even-id nodes update, then odd-id
+    * nodes), argmax of the BIGINT neighbor-label weight sum with ties to
+    * the smallest label (row_number over the grouped sums), the other
+    * parity carried over. Integer arithmetic end-to-end: the two engines
+    * must agree exactly. */
+  private def q40OracleSql: String = {
+    val iters = 4
+    val head =
+      s"""WITH $comentionEdgeCtes,
+         ud AS (SELECT src, dst, w FROM e
+                UNION ALL SELECT dst, src, w FROM e),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM ud)"""
+    val halves = (1 to 2 * iters).map { i =>
+      val p = (i + 1) % 2 // half-steps alternate parity 0, 1, 0, 1, ...
+      s""",
+         l$i AS (
+           SELECT id, label FROM l${i - 1} WHERE id % 2 <> $p
+           UNION ALL
+           SELECT id, label FROM (
+             SELECT ud.dst AS id, lb.label AS label,
+               row_number() OVER (PARTITION BY ud.dst
+                 ORDER BY sum(ud.w) DESC, lb.label ASC) AS rn
+             FROM ud JOIN l${i - 1} lb ON ud.src = lb.id
+             WHERE ud.dst % 2 = $p
+             GROUP BY ud.dst, lb.label) WHERE rn = 1)"""
+    }.mkString
+    head + halves +
+      s"""
+       SELECT id AS doc_id, label AS community
+       FROM l${2 * iters} ORDER BY doc_id"""
+  }
+
+  /** q41: per-node triangle counts via the naive id-ordered 3-way join
+    * (a < b < c — algorithmically independent of the Spark side's
+    * degree-ordered enumeration; the triangle SET is the same). */
+  private def q41OracleSql: String =
+    s"""WITH $comentionEdgeCtes,
+       deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+         GROUP BY id),
+       tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+               FROM e ab
+               JOIN e bc ON ab.dst = bc.src
+               JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+       cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+           SELECT a AS id FROM tri
+           UNION ALL SELECT b AS id FROM tri
+           UNION ALL SELECT c AS id FROM tri)
+         GROUP BY id)
+     SELECT deg.id AS doc_id, deg.degree AS degree,
+       coalesce(cnt.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN deg.degree < 2 THEN CAST(0.0 AS DOUBLE)
+         ELSE round(2.0 * coalesce(cnt.triangles, 0)
+           / (deg.degree * (deg.degree - 1)), 9) END AS clustering
+     FROM deg LEFT JOIN cnt USING (id) ORDER BY doc_id"""
+
+  /** q42: the full PQ pipeline recomputed from the materialized codebook —
+    * per-subspace argmin encode (round-9 squared L2, ties to the lowest
+    * code), the ADC approximate cosine (lut sum over assigned codewords /
+    * (|q|·|reconstruction|), round 9 — the same cross-engine quantization
+    * contract as the Spark side), the rerank·k candidate cut, and the
+    * exact-cosine top-5 under the pinned (cos desc, nid asc) order. */
+  private def q42OracleSql: String = {
+    val sub = EmbDim / PqM
+    val cap = PqRerank * 5
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       cb AS (SELECT sub, code, cvec FROM ${sp("pq_codebook")}),
+       sq AS (SELECT e.id, cb.sub, cb.code,
+           round((SELECT sum((coalesce(e.v[cb.sub * $sub + i], 0)
+                              - cb.cvec[i]) ^ 2)
+                  FROM generate_series(1, $sub) g(i)), 9) AS dsq
+         FROM e CROSS JOIN cb),
+       enc AS (SELECT id, sub, code FROM (
+           SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+             ORDER BY dsq ASC, code ASC) AS rn
+           FROM sq) WHERE rn = 1),
+       cwn AS (SELECT sub, code, list_dot_product(cvec, cvec) AS nsq FROM cb),
+       qn AS (SELECT id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+              FROM e WHERE id < 10),
+       lut AS (SELECT q.qid, cb.sub, cb.code,
+           list_dot_product(q.qv[cb.sub * $sub + 1 : (cb.sub + 1) * $sub],
+             cb.cvec) AS ip
+         FROM qn q CROSS JOIN cb),
+       approx AS (
+         SELECT l.qid, enc.id AS nid,
+           round(CASE WHEN any_value(q.qnorm) = 0 OR sum(n.nsq) = 0
+             THEN CAST(0 AS DOUBLE)
+             ELSE sum(l.ip) / (any_value(q.qnorm) * sqrt(sum(n.nsq))) END,
+             9) AS a
+         FROM enc
+         JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+         JOIN cwn n ON n.sub = enc.sub AND n.code = enc.code
+         JOIN qn q ON q.qid = l.qid
+         WHERE l.qid <> enc.id
+         GROUP BY l.qid, enc.id),
+       cand AS (SELECT qid, nid FROM (
+           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY a DESC, nid ASC) AS rn
+           FROM approx) WHERE rn <= $cap),
+       scored AS (SELECT cand.qid, cand.nid,
+           list_cosine_similarity(eq.v, en.v) AS c
+         FROM cand JOIN e eq ON eq.id = cand.qid
+         JOIN e en ON en.id = cand.nid),
+       rk AS (SELECT qid, nid, c, row_number() OVER
+           (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+         FROM scored)
+       SELECT qid, nid, round(c, 4) AS cos, rank FROM rk
+       WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
   private def q34OracleSql: String = {
     val p = graft.ops.DedupOps.HashP
     val a = graft.ops.TextOps.SampleA
@@ -2129,6 +2372,11 @@ object SparkEntry {
   private[graft] val KmeansK = 8
   private[graft] val KmeansIters = 3
   private[graft] val SemDedupTau = 0.4
+  // q42 product-quantization contract — shared by the Spark query, the
+  // pq_codebook stage table, and the generated oracle chain.
+  private[graft] val PqM = 8
+  private[graft] val PqKs = 16
+  private[graft] val PqRerank = 4
   // Dimension of the harness's embeddings table — the oracle's mean CTE
   // iterates positions 1..EmbDim explicitly (DuckDB would yield NULL past
   // the list end and silently freeze every centroid); the Spark side

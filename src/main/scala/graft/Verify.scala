@@ -41,7 +41,13 @@ object Verify {
     } + "\""
     def jsonOf(m: Map[String, String]): String =
       m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (comma-separated names); unset = all queries
+    // (the driver's contract). Oracle json is always written in full.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

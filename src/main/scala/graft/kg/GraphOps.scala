@@ -126,4 +126,160 @@ object GraphOps {
       ()
     }
   }
+
+  /** Weighted label propagation (community detection; Raghavan et al.
+    * 2007) on the same UNDIRECTED weighted edge list as [[pageRank]]
+    * (src < dst, integral co-mention count weights), in the DETERMINISTIC
+    * SEMI-SYNCHRONOUS variant (Cordasco & Gargano 2010): fully synchronous
+    * updates 2-cycle on any locally bipartite structure (a pair, a star —
+    * i.e. almost every real graph), and the classic asynchronous variant
+    * is update-order-dependent, which an engine that pins bit-identical
+    * results under any partitioning cannot accept. Here each round runs
+    * TWO half-steps — even-id nodes update against current labels, then
+    * odd-id nodes against the refreshed ones — a deterministic 2-coloring
+    * approximation that breaks the synchronous oscillation.
+    *
+    * label_0(v) = v; an updating node takes the label L maximizing
+    * Σ_{u~v, label(u)=L} w(u,v), ties to the SMALLEST label, a FIXED
+    * `iters` rounds. Weights are co-mention COUNTS, summed as BIGINT, so
+    * every comparison is exact integer arithmetic — unlike PageRank there
+    * is no floating-point accumulation and therefore no rounding contract:
+    * any engine replaying the rule lands on identical labels (the DuckDB
+    * oracle replays all half-steps as chained CTEs).
+    *
+    * Spark shape at 100 TB: per half-step ONE src-keyed hash join against
+    * the persisted symmetrized edge list + ONE (dst, label) aggregation
+    * with map-side combine + ONE dst-keyed `max_by` aggregation (argmax-
+    * with-min-label via a single struct ordering — no window, no per-key
+    * array); hub nodes cost rows spread across tasks; the non-updating
+    * parity rides a narrow filter-union. Eager `localCheckpoint` per
+    * half-step collapses the analyzed plan (the pageRank lesson: plain
+    * persist leaves the full lineage in every AQE re-plan), blocks freed
+    * deterministically via [[org.apache.spark.sql.graft.CheckpointBlocks]].
+    *
+    * Loan-pattern API like [[pageRank]]: materialize inside `use`; all
+    * caches and checkpoint blocks are released on return. */
+  def labelPropagation[T](edges: DataFrame, iters: Int)
+      (use: DataFrame => T): T = {
+    val spark = edges.sparkSession
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    var ud: DataFrame = null
+    var labels: DataFrame = null
+    try {
+      val sym = e.select(col("src"), col("dst"),
+          col("weight").cast("long").as("w"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight").cast("long").as("w")))
+      ud = sym.persist(StorageLevel.MEMORY_AND_DISK)
+      val m = ud.count() // materialize once; rounds re-read the blocks
+      if (m == 0)
+        return use(e.select(col("src").as("doc_id"),
+          col("src").as("community")).where(lit(false)))
+      // Size round shuffles to the graph, not the corpus-width session
+      // default (see pageRank: task-launch overhead × stages × rounds).
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(m / 50000L + 1,
+          4L * spark.sparkContext.defaultParallelism)).toString)
+      // Every node in an edge list has ≥1 incident edge, so the dst-side
+      // aggregation reaches ALL parity-p nodes each half-step — no
+      // dangling-node join.
+      labels = ud.select(col("src").as("id"), col("src").as("label"))
+        .distinct().localCheckpoint(true)
+      def halfStep(prev: DataFrame, p: Int): DataFrame = {
+        val upd = ud.join(prev, ud("src") === prev("id"))
+          .where(pmod(ud("dst"), lit(2)) === p)
+          .groupBy(ud("dst").as("nid"), col("label"))
+          .agg(sum(col("w")).as("wsum"))
+          // argmax(wsum) with ties to the SMALLEST label: one struct-ordered
+          // max_by — (wsum, -label) is unique per nid, so max_by is
+          // deterministic.
+          .groupBy(col("nid").as("id"))
+          .agg(max_by(col("label"),
+            struct(col("wsum"), (-col("label")).as("neg"))).as("label"))
+        prev.where(pmod(col("id"), lit(2)) =!= p).unionByName(upd)
+          .localCheckpoint(true)
+      }
+      var it = 0
+      while (it < iters) {
+        val even = halfStep(labels, 0)
+        org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
+        val odd = halfStep(even, 1)
+        org.apache.spark.sql.graft.CheckpointBlocks.release(even)
+        labels = odd
+        it += 1
+      }
+      use(labels.select(col("id").as("doc_id"), col("label").as("community")))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      e.unpersist()
+      if (ud != null) { ud.unpersist(); () }
+      if (labels != null)
+        org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
+      ()
+    }
+  }
+
+  /** Per-node triangle count + local clustering coefficient on the
+    * canonical (src < dst) undirected edge list — the KG-quality signals a
+    * graph consumer computes first (dense co-mention neighborhoods =
+    * coherent entity communities; coefficient 0 = star hubs).
+    *
+    * Scale shape: the classic degree-ordered node-iterator (Schank &
+    * Wagner 2005). Edges are ORIENTED from the (degree, id)-smaller
+    * endpoint to the larger, so every wedge is enumerated at its
+    * lowest-degree corner — Σ d_out² is O(m^1.5) on any graph, where the
+    * naive id-ordered join degenerates to a hub's full neighborhood
+    * squared (the co-mention graph is power-law; this is the difference
+    * between a bounded wedge join and a quadratic hot key). Each triangle
+    * is then closed by ONE equi-join against the oriented edge list and
+    * counted once; per-node counts are a map-side-combinable aggregation
+    * over the three corners. The enumeration strategy is invisible in the
+    * output (the triangle SET is orientation-independent), which is what
+    * lets the DuckDB oracle use the naive id-ordered 3-way join and still
+    * have to agree row-for-row.
+    *
+    * Output: (doc_id, degree, triangles, clustering) — clustering =
+    * 2·T/(deg·(deg−1)) rounded to 9 (the one division; counts are exact
+    * BIGINTs), 0 for degree-1 nodes. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // Orient by (deg, id): lo = the smaller endpoint under that order.
+    val withDeg = e
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    val oriented = withDeg.select(
+      when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+        struct(col("src").as("lo"), col("dst").as("hi")))
+        .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
+        .as("o"))
+      .select(col("o.lo").as("lo"), col("o.hi").as("hi"))
+      .join(deg.withColumnRenamed("id", "hi").withColumnRenamed("deg", "hdeg"), "hi")
+    // Wedges at the lowest-ranked corner: out-neighbor pairs ordered by
+    // (deg, id) so each triangle closes exactly once.
+    val w1 = oriented.select(col("lo").as("a"), col("hi").as("b"),
+      col("hdeg").as("bdeg"))
+    val w2 = oriented.select(col("lo").as("a"), col("hi").as("c"),
+      col("hdeg").as("cdeg"))
+    val wedges = w1.join(w2, Seq("a"))
+      .where(struct(col("bdeg"), col("b")) < struct(col("cdeg"), col("c")))
+    val closer = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val tris = wedges.join(closer, Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val corner = tris.select(col("a").as("id"))
+      .union(tris.select(col("b").as("id")))
+      .union(tris.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(corner, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("deg") * (col("deg") - lit(1L))), 9))
+          .as("clustering"))
+  }
 }

@@ -170,6 +170,75 @@ object KgPipeline {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Transcript-structure metadata triples — the agent-action facet of the
+    * KG the north rule's "multi-turn conversation / agent transcripts"
+    * input carries beyond entity mentions: every turn asserts its role
+    * (`byRole`), its tool invocation when present (`usedTool`), and its
+    * conversation membership (`inConversation`). A narrow flatMap — no
+    * shuffle, no dictionary; partKey is empty (these triples are not
+    * district-scoped). Fully DuckDB-oracled from the turns stage table. */
+  def metadataTriples(spark: SparkSession, turns: Dataset[Turn]): Dataset[Triple] = {
+    import spark.implicits._
+    turns.flatMap { t =>
+      val subj = s"${t.conv_id}#${t.turn_idx}"
+      val out = Seq.newBuilder[Triple]
+      out += Triple(subj, "byRole", t.role, 0.0, "")
+      if (t.tool != null && t.tool.nonEmpty)
+        out += Triple(subj, "usedTool", t.tool, 0.0, "")
+      out += Triple(subj, "inConversation", t.conv_id, 0.0, "")
+      out.result()
+    }
+  }
+
+  /** Temporal facets per linked entity: first/last mention time (epoch
+    * millis — exact integers, cross-engine safe), mention count, and
+    * distinct-conversation count, over the top-`topRank` link hits. The KG
+    * consumer's "entity activity timeline" — which canonical entities are
+    * live, emerging, or stale. One hash aggregation keyed by entity;
+    * the hits←mentions←turns joins are all on the tiny mention-side keys. */
+  def entityTimeline(spark: SparkSession, mentions: Dataset[MentionDoc],
+      hits: Dataset[LinkHit], turns: Dataset[Turn],
+      topRank: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val links = hits.filter(_.rank <= topRank).toDF()
+      .join(mentions.map(m =>
+          (m.queryId, s"${m.convId}#${m.turnIdx}", m.convId))
+        .toDF("queryId", "subj", "convId"), "queryId")
+    val tdf = turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.ts.getTime))
+      .toDF("subj", "ts_ms")
+    links.join(tdf, "subj")
+      .groupBy(col("docId").as("doc_id"))
+      .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"),
+        count(lit(1)).as("n_mentions"),
+        countDistinct("convId").as("n_convs"))
+  }
+
+  /** Tool→entity adjacency: an edge (tool, docId, weight) whenever a
+    * conversation both invokes `tool` and top-`topRank`-links to the
+    * entity; weight = number of such conversations. The second KG
+    * adjacency product next to [[coMentionEdges]] — "which tools touch
+    * which entities" is the transcript-specific graph a agent-ops consumer
+    * asks for. Scale shape: both sides are per-conversation DISTINCT lists
+    * (tools per conv and linked entities per conv are tiny), so the
+    * conv-keyed join is bounded per key; the edge aggregation is one hash
+    * shuffle on (tool, docId). */
+  def toolEntityEdges(spark: SparkSession, mentions: Dataset[MentionDoc],
+      hits: Dataset[LinkHit], turns: Dataset[Turn],
+      topRank: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val entConv = hits.filter(_.rank <= topRank).toDF()
+      .join(mentions.map(m => (m.queryId, m.convId))
+        .toDF("queryId", "convId"), "queryId")
+      .select("convId", "docId").distinct()
+    val toolConv = turns.filter(t => t.tool != null && t.tool.nonEmpty)
+      .map(t => (t.conv_id, t.tool)).toDF("convId", "tool").distinct()
+    entConv.join(toolConv, "convId")
+      .groupBy(col("tool"), col("docId").as("doc_id"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Region parent/child adjacency edges (the KG's backbone graph, from the
     * broadcast dictionary — `persist/AddressPersister.java:248-278` recast). */
   def regionAdjacency(spark: SparkSession, dict: Dict): DataFrame = {

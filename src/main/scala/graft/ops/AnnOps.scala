@@ -207,6 +207,187 @@ object AnnOps {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Product-quantization codebook (Jégou et al., TPAMI 2011): the vector
+    * space split into `m` subspaces of `dim/m` components; each subspace
+    * gets `ks` codewords. Like [[ivfCentroids]], the codewords are a
+    * DETERMINISTIC hash-ordered corpus sample (smallest xxhash64(id) wins,
+    * indexed by ascending source id, unnormalized — PQ encodes by L2
+    * distance on raw subvectors), not Lloyd-trained: a sampled quantizer
+    * trades a little quantization error for bit-identical results under
+    * any partitioning. Exposed so the DuckDB oracle can materialize the
+    * exact codebook (`pq_codebook` stage table) and recompute encoding,
+    * ADC scores, and the re-rank independently.
+    *
+    * Returns (sub, code, codeword) rows, code in [0, ks). */
+  def pqCodebook(corpus: DataFrame, dim: Int, m: Int, ks: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Int, Array[Double])] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"), col("id")).limit(ks)
+      .select("id", "v").as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    for {
+      s <- (0 until m).toArray
+      (v, code) <- sample.map(_._2).zipWithIndex
+    } yield (s, code, Array.tabulate(sub)(i =>
+      if (s * sub + i < v.length) v(s * sub + i).toDouble else 0.0))
+  }
+
+  /** PQ-compressed ANN top-k with asymmetric-distance (ADC) scan + exact
+    * re-rank — the MEMORY-scale path of the ANN family: at 100 TB of
+    * float32 embeddings the raw vectors cannot stay resident, but the PQ
+    * codes are `m` bytes per vector (dim·4 / m compression, 32× at
+    * dim=64/m=8), so the first-pass scan runs entirely over the compressed
+    * index and the raw vectors are touched only for the `rerank·k`
+    * candidates per query (Jégou et al. 2011; composes with [[ivfTopK]]'s
+    * cell routing the way IVFADC does — each cell's codes scanned only for
+    * queries probing it).
+    *
+    * Pipeline (every step deterministic and DuckDB-replayable):
+    *  1. encode: per subspace, argmin round-9 squared L2 distance to the
+    *     codebook, ties to the lowest code — a narrow mapPartitions over
+    *     the corpus (the broadcast codebook is ks·dim doubles).
+    *  2. ADC scan: per query, an m×ks inner-product lookup table; the
+    *     approximate cosine of a corpus row is Σ_s lut(s, code_s) divided
+    *     by |q|·|reconstruction|, rounded to 9 (the cross-engine
+    *     quantization contract — sub-ULP accumulation noise must not flip
+    *     the candidate cut). Per-partition BOUNDED heaps (rerank·k per
+    *     query) feed a global top cut, so the shuffle carries
+    *     partitions·queries·rerank·k tiny rows, never the corpus.
+    *  3. exact re-rank: only the candidates' raw vectors are read (a
+    *     broadcast join — the candidate list is queries·rerank·k rows),
+    *     exact codegen'd cosine, pinned (cos desc, nid asc) top-k.
+    *
+    * The query side is collected + broadcast — bounded by the same
+    * contract as every ANN operator here (queries ≪ corpus).
+    * Recall < 1 by design; floor pinned in OpsSpec vs [[bruteForceTopK]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ks: Int = 16, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val cbRows = pqCodebook(corpus, dim, m, ks, idCol, vecCol)
+    // Effective codebook size (a corpus smaller than ks yields fewer
+    // codewords); cw(s)(j) = codeword, cwNormSq(s)(j) = its squared norm.
+    val ksEff = cbRows.length / m
+    require(ksEff > 0, "empty corpus: no PQ codebook")
+    val cw = Array.tabulate(m, ksEff) { (s, j) => cbRows(s * ksEff + j)._3 }
+    val cwNormSq = Array.tabulate(m, ksEff) { (s, j) =>
+      var x = 0.0; var i = 0
+      while (i < sub) { x += cw(s)(j)(i) * cw(s)(j)(i); i += 1 }
+      x
+    }
+    val qRows = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast((cw, cwNormSq, qRows))
+    val capacity = rerank * k
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val cTyped = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).as("nvec")).as[(Long, Array[Float])]
+    val partial = cTyped.mapPartitions { it =>
+      val (cwv, cwn, qs) = bc.value
+      // Per-query ADC lookup tables + norms, computed once per partition.
+      val lut = qs.map { case (_, qv) =>
+        Array.tabulate(m, cwv(0).length) { (s, j) =>
+          var x = 0.0; var i = 0
+          while (i < sub) {
+            val qi = s * sub + i
+            if (qi < qv.length) x += qv(qi) * cwv(s)(j)(i)
+            i += 1
+          }
+          x
+        }
+      }
+      val qNorm = qs.map { case (_, qv) =>
+        var x = 0.0; var i = 0
+        while (i < qv.length) { x += qv(i).toDouble * qv(i); i += 1 }
+        math.sqrt(x)
+      }
+      // Worst candidate on top: smaller approx (then larger nid) = greater.
+      val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+        case (a, nid) => (-a, nid)
+      }
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      it.foreach { case (nid, nvec) =>
+        // encode: per subspace, argmin round-9 squared distance, ties low.
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cwv(s).length) {
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val vi = s * sub + i
+              val x = (if (vi < nvec.length) nvec(vi).toDouble else 0.0) -
+                cwv(s)(j)(i)
+              d += x * x
+              i += 1
+            }
+            val dr = r9(d)
+            if (dr < bestD) { best = j; bestD = dr }
+            j += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        var recSq = 0.0
+        var s2 = 0
+        while (s2 < m) { recSq += cwn(s2)(codes(s2)); s2 += 1 }
+        val rec = math.sqrt(recSq)
+        var q = 0
+        while (q < qs.length) {
+          if (qs(q)._1 != nid) {
+            var dot = 0.0; var s3 = 0
+            while (s3 < m) { dot += lut(q)(s3)(codes(s3)); s3 += 1 }
+            val a = r9(if (qNorm(q) == 0 || rec == 0) 0.0
+              else dot / (qNorm(q) * rec))
+            val h = heaps(q)
+            if (h.size < capacity) h.enqueue((a, nid))
+            else {
+              val (wa, wn) = h.head
+              if (a > wa || (a == wa && nid < wn)) {
+                h.dequeue(); h.enqueue((a, nid)); ()
+              }
+            }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case (a, nid) => (qs(q)._1, nid, a) }
+      }
+    }.toDF("qid", "nid", "approx")
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("nid").asc)
+    val cand = partial.withColumn("rn", row_number().over(wc))
+      .where(col("rn") <= capacity)
+      .select("qid", "nid")
+    val qDf = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qvec"))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(qDf), Seq("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Top-k recall of an ANN result vs the brute-force result: the fraction of
     * true top-k (qid, nid) pairs the ANN run recovered. */
   def recallVsBrute(ann: DataFrame, brute: DataFrame): Double = {

@@ -279,6 +279,68 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edges == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), edges)
   }
 
+  test("metadata triples, entity timeline, and tool-entity edges match naive recomputes") {
+    val s = spark
+    import s.implicits._
+    val corpusRows = SynthCorpus.corpus(regions, 300, 4, seed = 31)
+    val turnRows = SynthCorpus.transcripts(regions, 60, 4, seed = 32)
+    val bdict = s.sparkContext.broadcast(d0)
+    val turns = s.createDataset(turnRows).repartition(5)
+    val r = KgPipeline.run(s, turns,
+      s.createDataset(corpusRows).repartition(5), bdict, 5)
+    try {
+      val mentions = r.mentions.collect()
+      val hits = r.hits.collect()
+
+      val mt = KgPipeline.metadataTriples(s, turns).collect()
+        .map(t => (t.subj, t.pred, t.obj)).toSet
+      val mtExp = turnRows.flatMap { t =>
+        val subj = s"${t.conv_id}#${t.turn_idx}"
+        Seq((subj, "byRole", t.role), (subj, "inConversation", t.conv_id)) ++
+          (if (t.tool != null && t.tool.nonEmpty)
+            Seq((subj, "usedTool", t.tool)) else Nil)
+      }.toSet
+      assert(mt == mtExp)
+      assert(mt.exists(_._2 == "usedTool"), "fixture must exercise tool turns")
+
+      val subjOf = mentions.map(m =>
+        m.queryId -> ((s"${m.convId}#${m.turnIdx}", m.convId))).toMap
+      val top1 = hits.filter(_.rank <= 1)
+      val tsOf = turnRows.map(t =>
+        s"${t.conv_id}#${t.turn_idx}" -> t.ts.getTime).toMap
+      val tlExp = top1.groupBy(_.docId).map { case (docId, hs) =>
+        val rows = hs.map(h => subjOf(h.queryId))
+        val times = rows.map(x => tsOf(x._1))
+        docId -> ((times.min, times.max, hs.length.toLong,
+          rows.map(_._2).distinct.length.toLong))
+      }
+      val tl = KgPipeline.entityTimeline(s, r.mentions, r.hits, turns)
+        .collect()
+        .map(row => row.getAs[Long]("doc_id") ->
+          ((row.getAs[Long]("first_ms"), row.getAs[Long]("last_ms"),
+            row.getAs[Long]("n_mentions"), row.getAs[Long]("n_convs"))))
+        .toMap
+      assert(tl == tlExp)
+      assert(tl.nonEmpty)
+
+      val entConv = top1.map(h => (subjOf(h.queryId)._2, h.docId)).distinct
+      val toolConv = turnRows
+        .filter(t => t.tool != null && t.tool.nonEmpty)
+        .map(t => (t.conv_id, t.tool)).distinct
+      val teExp = (for {
+        (c1, d) <- entConv; (c2, tool) <- toolConv if c1 == c2
+      } yield (tool, d)).groupBy(identity).map {
+        case (k, v) => k -> v.length.toLong
+      }
+      val te = KgPipeline.toolEntityEdges(s, r.mentions, r.hits, turns)
+        .collect()
+        .map(row => (row.getAs[String]("tool"), row.getAs[Long]("doc_id")) ->
+          row.getAs[Long]("weight")).toMap
+      assert(te == teExp)
+      assert(te.nonEmpty, "fixture must produce tool-entity edges")
+    } finally r.unpersistAll()
+  }
+
   test("determinism across parallelism levels") {
     val s = spark
     import s.implicits._

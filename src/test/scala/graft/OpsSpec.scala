@@ -466,6 +466,163 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1) == out, "pagerank must be partitioning-invariant")
   }
 
+  test("label propagation matches a naive synchronous reference; partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // Two natural communities bridged by one weak edge, plus a separate pair.
+    val edges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 4L), (2L, 3L, 6L), // tight community {1,2,3}
+      (3L, 4L, 1L),                             // weak bridge
+      (4L, 5L, 7L), (4L, 6L, 5L), (5L, 6L, 8L), // tight community {4,5,6}
+      (7L, 8L, 2L))                             // separate pair
+    val iters = 4
+    val ud = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val nodes = ud.map(_._1).distinct.sorted
+    var lab = nodes.map(x => x -> x).toMap
+    // Semi-synchronous: even-id nodes update first, then odd-id nodes
+    // against the refreshed labels (two half-steps per round).
+    for (_ <- 1 to iters; p <- Seq(0, 1)) {
+      lab = nodes.map { v =>
+        if (v % 2 != p) v -> lab(v)
+        else {
+          val scores = ud.filter(_._2 == v)
+            .groupBy { case (u, _, _) => lab(u) }
+            .view.mapValues(_.map(_._3).sum).toMap
+          // max weight, ties to smallest label
+          v -> scores.toSeq.minBy { case (l, w) => (-w, l) }._1
+        }
+      }.toMap
+    }
+    def run(parts: Int) = graft.kg.GraphOps.labelPropagation(
+        edges.toDF("src", "dst", "weight").repartition(parts), iters) {
+      _.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community"))
+        .toMap
+    }
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+    val out = run(4)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"labelPropagation leaked persisted blocks: $leaked")
+    assert(out == lab)
+    // The two tight communities must each converge to one label; the
+    // separate pair converges to its min id.
+    assert(Set(out(4L), out(5L), out(6L)).size == 1)
+    assert(out(7L) == 7L && out(8L) == 7L)
+    assert(run(1) == out, "label propagation must be partitioning-invariant")
+  }
+
+  test("pq top-k matches a naive ADC reference; partition-invariant; recall floor") {
+    val s = spark
+    import s.implicits._
+    val dim = 16; val m = 4; val sub = dim / m; val ks = 8
+    val k = 3; val rerank = 4
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    def df(parts: Int) = rows.toDF("vec_id", "embedding").repartition(parts)
+    val queries = rows.filter(_._1 < 5)
+
+    // Naive sequential PQ with the exact contracts: hash-sampled codebook,
+    // round-9 argmin encode (ties low), round-9 ADC cosine, rerank·k cut by
+    // (a desc, nid asc), exact-cosine top-k by (cos desc, nid asc).
+    def r(x: Double, n: Int) =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cbRows = AnnOps.pqCodebook(df(3), dim, m, ks)
+    val cw = Array.tabulate(m, ks)((si, j) => cbRows(si * ks + j)._3)
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(m) { si =>
+      (0 until ks).map { j =>
+        val d = (0 until sub).map { i =>
+          val x = v(si * sub + i).toDouble - cw(si)(j)(i); x * x
+        }.sum
+        (r(d, 9), j)
+      }.min._2
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      if (xx == 0 || yy == 0) 0.0 else xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val expected = queries.flatMap { case (qid, qv) =>
+      val qNorm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val cands = rows.filter(_._1 != qid).map { case (nid, nv) =>
+        val codes = encode(nv)
+        val recN = math.sqrt((0 until m).map(si =>
+          cw(si)(codes(si)).map(x => x * x).sum).sum)
+        val dot = (0 until m).map(si =>
+          (0 until sub).map(i =>
+            qv(si * sub + i).toDouble * cw(si)(codes(si))(i)).sum).sum
+        val a = r(if (qNorm == 0 || recN == 0) 0.0 else dot / (qNorm * recN), 9)
+        (nid, a)
+      }.sortBy { case (nid, a) => (-a, nid) }.take(rerank * k)
+      cands.map { case (nid, _) =>
+        (nid, cosD(qv, rows.find(_._1 == nid).get._2))
+      }.sortBy { case (nid, c) => (-c, nid) }.take(k).zipWithIndex
+        .map { case ((nid, c), i) => (qid, nid, r(c, 4), i + 1) }
+    }.toSet
+
+    def run(parts: Int) = AnnOps.pqTopK(df(parts), df(parts)
+        .where(col("vec_id") < 5), k, dim, m, ks, rerank)
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+        row.getInt(3))).toSet
+    val out = run(7)
+    assert(out == expected)
+    assert(run(1) == out, "pqTopK must be partitioning-invariant")
+
+    // Recall vs brute force: PQ + 4k-deep re-rank on random vectors.
+    val rec = AnnOps.recallVsBrute(
+      AnnOps.pqTopK(df(7), df(7).where(col("vec_id") < 5), k, dim, m, ks, rerank),
+      AnnOps.bruteForceTopK(df(7), df(7).where(col("vec_id") < 5), k))
+    assert(rec >= 0.5, s"pq recall $rec below floor")
+  }
+
+  test("triangle stats match a naive reference on a known and a random graph") {
+    val s = spark
+    import s.implicits._
+    def naive(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] = {
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val nbr = (es ++ es.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val nodes = nbr.keys.toSeq.sorted
+      val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((a, b) <- es; c <- nbr(a) if c > b && nbr(b).contains(c)) {
+        triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+      }
+      nodes.map { v =>
+        val d = nbr(v).size.toLong
+        val t = triCount(v)
+        val cc = if (d < 2) 0.0
+          else BigDecimal(2.0 * t / (d * (d - 1)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        v -> (d, t, cc)
+      }.toMap
+    }
+    def run(edges: Seq[(Long, Long)]) =
+      graft.kg.GraphOps.triangleStats(
+          edges.toDF("src", "dst").withColumn("weight", lit(1L)))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+            r.getAs[Double]("clustering"))))
+        .toMap
+    val known = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    assert(run(known) == naive(known))
+    val got = run(known)
+    assert(got(2L)._3 == 1.0 && got(5L)._3 == 0.0)
+    // Random graph with hubs (skewed degrees) — exercises the degree
+    // orientation against the order-free naive counter.
+    val rnd = new scala.util.Random(9)
+    val rand = (0 until 120).map { _ =>
+      val a = rnd.nextInt(25).toLong
+      val b = rnd.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b)) // canonical src < dst, like coMentionEdges
+    }.filter { case (a, b) => a != b }.distinct
+    assert(run(rand) == naive(rand))
+  }
+
   test("kmeans matches a naive Lloyd reference; partitioning-invariant") {
     val s = spark
     import s.implicits._
