@@ -437,6 +437,12 @@ object SparkEntry {
       scoped(s, dir, 5, "kg_comention")(r =>
         KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)
           .orderBy("src", "dst"))),
+    "kg_ntriples" -> ((s, dir) =>
+      // N-Triples interchange export of the materialized KG — the KG-side
+      // analog of the .vt dump (q24); byte-for-byte oracled: DuckDB rebuilds
+      // every line (same escape chain) over its own triple recomputation.
+      scoped(s, dir, 5, "kg_ntriples")(r =>
+        KgPipeline.toNTriples(r.triples).orderBy("line"))),
     "kg_meta_triples" -> ((s, dir) => {
       // Transcript-structure triples (role / tool / conversation membership)
       // — the agent-action facet of the KG; narrow flatMap, fully oracled
@@ -588,6 +594,16 @@ object SparkEntry {
         "doc_id", "text", n = 5, k = 32)
       DedupOps.connectedComponents(DedupOps.lshCandidates(sig, k = 32, bands = 8))
         .orderBy("id")
+    }),
+    "q43_decontaminate_fuzzy" -> ((s, dir) => {
+      // Fuzzy (MinHash-banded + exact-Jaccard-verified) decontamination:
+      // catches the paraphrase-level contamination q30's exact n-gram join
+      // misses. Same eval convention as q30 (doc_id % 50 == 7).
+      val docs = t(s, dir, "documents")
+      DedupOps.decontaminateFuzzy(
+          docs.where(col("doc_id") % 50 =!= 7),
+          docs.where(col("doc_id") % 50 === 7), tau = Q43Tau)
+        .orderBy("doc_id")
     }),
     "q30_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: docs with doc_id % 50 == 7 stand in for
@@ -964,6 +980,24 @@ object SparkEntry {
          FROM h JOIN m ON h.queryId = m.queryId)
        SELECT subj, pred, obj, score, partKey FROM t
        ORDER BY subj, pred, obj"""
+
+  /** kg_ntriples: the SAME escape chain + IRI/literal concatenation over
+    * DuckDB's own triple recomputation (the kg_triples oracle as a derived
+    * table) — a byte-for-byte independent-engine check of the serialized
+    * lines. DuckDB regular strings do not process backslash escapes, so
+    * '\' is one backslash and '\\' two; control chars via chr(). */
+  private def kgNTriplesOracleSql: String = {
+    // NOTE: Scala triple-quoted strings do NOT process escapes — every
+    // backslash below is literal, exactly as DuckDB receives it.
+    def esc(x: String): String =
+      s"""replace(replace(replace(replace(replace($x,
+         '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+         chr(9), '\t')"""
+    s"""WITH base AS ($kgTriplesOracleSql)
+       SELECT '<graft:turn/' || ${esc("subj")} || '> <graft:pred/' || pred
+         || '> "' || ${esc("obj")} || '" .' AS line
+       FROM base ORDER BY line"""
+  }
 
   /** Write every stage table the kg oracles reference. One pipeline pass. */
   def materializeStage(s: SparkSession, dir: String): Unit = {
@@ -1642,6 +1676,8 @@ object SparkEntry {
     "q40_label_prop" -> q40OracleSql,
     "q41_triangles" -> q41OracleSql,
     "q42_ann_pq" -> q42OracleSql,
+    "q43_decontaminate_fuzzy" -> q43OracleSql,
+    "kg_ntriples" -> kgNTriplesOracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
        ORDER BY vec_id"""),
@@ -2135,6 +2171,47 @@ object SparkEntry {
      SELECT comp.id, comp.group_id, sizes.group_size
      FROM comp JOIN sizes USING (group_id) ORDER BY id"""
 
+  /** q43: fuzzy decontamination recomputed in SQL — q9's portable MinHash
+    * machinery (signatures, banding) split corpus/eval by the q30
+    * convention, candidates from band collisions, exact shingle-set
+    * Jaccard over DISTINCT (sid, hv) for the verify step, round-6 verdict
+    * against the shared tau. */
+  private def q43OracleSql: String = {
+    val p = DedupOps.HashP
+    val n = 5; val k = 32; val bands = 8; val rpb = k / bands
+    val params = DedupOps.minHashParams(k)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv*$a + $b) % $p) AS mh_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => s"mh_$i").mkString(", ")
+      s"SELECT sid, $b AS band, concat_ws('_', $cols) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""${shingleCte(n)},
+     h AS (SELECT sid, (${polySql(31, n)}) % $p AS hv FROM sh),
+     sig AS (SELECT sid, $mins FROM h GROUP BY sid),
+     bands AS ($bandSelects),
+     cand AS (SELECT DISTINCT l.sid AS sid, r.sid AS eid
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+       WHERE l.sid % 50 <> 7 AND r.sid % 50 = 7),
+     hs AS (SELECT DISTINCT sid, hv FROM h),
+     sz AS (SELECT sid, count(*) AS c FROM hs GROUP BY sid),
+     iv AS (SELECT cand.sid, cand.eid, count(*) AS ci
+       FROM cand JOIN hs a ON a.sid = cand.sid
+       JOIN hs b ON b.sid = cand.eid AND b.hv = a.hv
+       GROUP BY cand.sid, cand.eid),
+     vj AS (SELECT cand.sid, cand.eid,
+         round(CAST(coalesce(iv.ci, 0) AS DOUBLE)
+           / (sa.c + sb.c - coalesce(iv.ci, 0)), 6) AS j
+       FROM cand LEFT JOIN iv ON iv.sid = cand.sid AND iv.eid = cand.eid
+       JOIN sz sa ON sa.sid = cand.sid JOIN sz sb ON sb.sid = cand.eid)
+     SELECT sid AS doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN j >= $Q43Tau THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       max(j) AS max_jaccard
+     FROM vj GROUP BY sid ORDER BY doc_id"""
+  }
+
   /** q30: decontamination recomputed in SQL — distinct eval-set shingles,
     * inner-join the corpus shingle rows, count per doc. */
   private def q30OracleSql: String =
@@ -2377,6 +2454,8 @@ object SparkEntry {
   private[graft] val PqM = 8
   private[graft] val PqKs = 16
   private[graft] val PqRerank = 4
+  // q43 fuzzy-decontamination verdict threshold (round-6 exact Jaccard).
+  private[graft] val Q43Tau = 0.5
   // Dimension of the harness's embeddings table — the oracle's mean CTE
   // iterates positions 1..EmbDim explicitly (DuckDB would yield NULL past
   // the list end and silently freeze every centroid); the Spark side

@@ -239,6 +239,35 @@ object KgPipeline {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** N-Triples serialization of the materialized triple table — the
+    * interchange format a downstream KG consumer (triplestore bulk loader,
+    * SPARQL endpoint, graph-diff tooling) ingests; the KG-side analog of
+    * the `.vt` export (A6). Subjects/predicates become `graft:`-scheme
+    * IRIs, objects stay literals with the N-Triples escape set
+    * (backslash, quote, LF, CR, TAB — backslash first, so escapes never
+    * double-escape). One narrow codegen'd projection per row, no shuffle;
+    * scores are NOT part of N-Triples — the scored table remains
+    * kg_triples. Byte-for-byte DuckDB-oracled (the same concat/replace
+    * chain over the recomputed triples). */
+  def toNTriples(triples: Dataset[Triple]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def esc(c: Column): Column =
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(c, lit("\\"), lit("\\\\")),
+              lit("\""), lit("\\\"")),
+            lit("\n"), lit("\\n")),
+          lit("\r"), lit("\\r")),
+        lit("\t"), lit("\\t"))
+    triples.toDF().select(concat(
+      lit("<graft:turn/"), esc(col("subj")),
+      lit("> <graft:pred/"), col("pred"),
+      lit("> \""), esc(col("obj")), lit("\" .")).as("line"))
+  }
+
   /** Region parent/child adjacency edges (the KG's backbone graph, from the
     * broadcast dictionary — `persist/AddressPersister.java:248-278` recast). */
   def regionAdjacency(spark: SparkSession, dict: Dict): DataFrame = {

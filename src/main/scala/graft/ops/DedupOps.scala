@@ -103,6 +103,69 @@ object DedupOps {
       .select(col("sid").as(idCol), col("n_hits"))
   }
 
+  /** FUZZY benchmark decontamination: flag corpus documents whose
+    * MinHash-LSH banded signature collides with ANY eval/benchmark document,
+    * then verify each candidate by the EXACT shingle-set Jaccard — the
+    * paraphrase-level contamination [[decontaminate]]'s exact n-gram join
+    * misses (light rewording preserves most shingles, so the minhash bands
+    * still collide while any single long n-gram may not survive).
+    *
+    * Output per flagged corpus doc: candidate count, count with
+    * round(jaccard, 6) ≥ `tau` (the audit-threshold contamination verdict),
+    * and the max jaccard. Exact integer set sizes + one rounded division —
+    * DuckDB replays signatures, banding, candidates, and the verify join
+    * from the same portable polynomial hashes as q9.
+    *
+    * Scale shape: the eval set is tiny next to the corpus, so its banded
+    * keys, shingle hashes, and sizes are BROADCAST; the corpus side pays
+    * one signature aggregation and one narrow broadcast band join — no
+    * corpus shuffle. Only candidate pairs (corpus docs that banded with
+    * some eval doc) enter the exact-verify join. */
+  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, k: Int = 32, bands: Int = 8, tau: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    def banded(df: DataFrame, out: String): DataFrame = {
+      val sig = minHashSignature(df, idCol, textCol, n, k)
+      val bandCols = (0 until bands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i"))
+        struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bh"))
+      }
+      sig.select(col("sid").as(out), explode(array(bandCols: _*)).as("bk"))
+        .select(col(out), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    }
+    val cand = banded(corpus, "sid")
+      .join(broadcast(banded(evalSet, "eid")), Seq("band", "bh"))
+      .select("sid", "eid").distinct()
+    val cSh = shingleRows(corpus, idCol, textCol, n)
+      .withColumn("h", shingleHash(col("shingle"), n))
+      .select(col("sid"), col("h")).distinct()
+    val eSh = shingleRows(evalSet, idCol, textCol, n)
+      .withColumn("h", shingleHash(col("shingle"), n))
+      .select(col("sid").as("eid"), col("h")).distinct()
+    val cSize = cSh.groupBy("sid").agg(count(lit(1)).as("ca"))
+    val eSize = eSh.groupBy("eid").agg(count(lit(1)).as("cb"))
+    // Intersection sizes over DISTINCT shingle hashes (two distinct shingles
+    // colliding on h count once — mirrored exactly by the oracle's
+    // DISTINCT (sid, hv) projection).
+    val inter = cSh.join(broadcast(cand), Seq("sid"))
+      .join(broadcast(eSh), Seq("eid", "h"))
+      .groupBy("sid", "eid").agg(count(lit(1)).as("ci"))
+    // The candidate side stays the broadcast build side so the corpus-sized
+    // per-doc size table STREAMS through the join (no corpus shuffle).
+    broadcast(cand.join(inter, Seq("sid", "eid"), "left")
+        .withColumn("ci", coalesce(col("ci"), lit(0L))))
+      .join(cSize, Seq("sid"))
+      .join(broadcast(eSize), Seq("eid"))
+      .withColumn("j", round(col("ci").cast("double") /
+        (col("ca") + col("cb") - col("ci")).cast("double"), 6))
+      .groupBy(col("sid").as(idCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= tau, 1L).otherwise(0L)).as("n_contaminated"),
+        max(col("j")).as("max_jaccard"))
+  }
+
   /** Cross-document boilerplate spans (the C4/RefinedWeb span-dedup family):
     * a word n-gram occurring in at least `minDf` DISTINCT documents is
     * boilerplate (headers, footers, license blurbs, templated text); each

@@ -511,6 +511,39 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1) == out, "label propagation must be partitioning-invariant")
   }
 
+  test("fuzzy decontamination flags paraphrase-level eval overlap with verified jaccard") {
+    val s = spark
+    // Eval doc 2 is a near-dup (one word differs) of corpus docs 0/1;
+    // corpus docs 3/4 are unrelated prose.
+    val corpus = docsDf.where(col("doc_id") =!= 2)
+    val evalSet = docsDf.where(col("doc_id") === 2)
+    val out = DedupOps.decontaminateFuzzy(corpus, evalSet,
+        n = 5, k = 32, bands = 8, tau = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.contains(0L) && out.contains(1L),
+      s"near-dups must band-collide with the eval doc: $out")
+    assert(out(0L)._1 == 1L) // one eval doc → one candidate
+    assert(out(0L)._2 == 1L, "near-dup must verify above tau")
+    assert(out(0L) == out(1L), "exact dups get identical verdicts")
+    assert(!out.contains(3L) && !out.contains(4L),
+      s"unrelated docs must not be flagged: $out")
+
+    // The verified jaccard equals the naive distinct-5-shingle-set value
+    // (hash collisions at p=2^31-1 over ~40 shingles are negligible and
+    // would fail this exact equality if they ever occurred).
+    val t0 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "the quick brown fox jumped over the lazy dog"
+    def hset(t: String) = t.sliding(5).toSet
+    val a = hset(t0); val b = hset(t2)
+    val inter = a.intersect(b).size
+    val jNaive = BigDecimal(
+        inter.toDouble / (a.size + b.size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._3 == jNaive, s"${out(0L)._3} != $jNaive")
+  }
+
   test("pq top-k matches a naive ADC reference; partition-invariant; recall floor") {
     val s = spark
     import s.implicits._
