@@ -702,10 +702,17 @@ object SparkEntry {
       // co-mention graph (degree-ordered node-iterator — the oracle counts
       // the same triangle set with the naive id-ordered 3-way join, so the
       // orientation optimization is verified invisible).
-      scoped(s, dir, 5, "q41_triangles") { r =>
-        graft.kg.GraphOps.triangleStats(
-            KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1))
-          .orderBy("doc_id")
+      {
+        // Not scoped(): loan-pattern — stash INSIDE use so the shared-table
+        // checkpoints free on return (the q35/q40 pattern).
+        val (corpus, turns) = kgInputs(s, dir)
+        val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+        try
+          graft.kg.GraphOps.triangleStats(
+              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)) {
+            ts => stash(s, ts.orderBy("doc_id"), "q41_triangles")
+          }
+        finally r.unpersistAll()
       }),
     "q36_dup_spans" -> ((s, dir) => {
       // Exact-substring dedup CUT LIST (Lee et al. 2021): duplicated word-

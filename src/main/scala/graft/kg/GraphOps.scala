@@ -65,10 +65,15 @@ object GraphOps {
     // cache/checkpoint (the leak class the loan pattern exists to prevent).
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE off for the iteration loop — per-stage re-planning latency is
+    // pure overhead on graph-sized exchanges (the labelPropagation lesson:
+    // it dominated the round jobs at sf0.1); restored in the finally.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     var nodes: DataFrame = null
     var trans: DataFrame = null
     var ranks: DataFrame = null
     try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val ud = e.select(col("src"), col("dst"),
           col("weight").cast("double").as("w"))
         .union(e.select(col("dst").as("src"), col("src").as("dst"),
@@ -118,6 +123,7 @@ object GraphOps {
         round(col("rank"), 9).as("pagerank")))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       e.unpersist()
       if (nodes != null) { nodes.unpersist(); () }
       if (trans != null) { trans.unpersist(); () }
@@ -164,23 +170,34 @@ object GraphOps {
     val spark = edges.sparkSession
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE's per-stage re-planning adds scheduling latency to every exchange
+    // of every round job — pure overhead once the shuffles are already
+    // graph-sized (measured: it dominated the 13k-edge rounds at sf0.1).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     var ud: DataFrame = null
     var labels: DataFrame = null
     try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val eCnt = e.count()
+      if (eCnt == 0)
+        return use(e.select(col("src").as("doc_id"),
+          col("src").as("community")).where(lit(false)))
+      // Size round shuffles AND the cached edge layout to the graph, not
+      // the corpus-width session default (see pageRank: task-launch
+      // overhead × stages × rounds). The symmetrized table is REPARTITIONED
+      // down before persisting — each round scans it from two branches, and
+      // scanning hundreds of corpus-width cached partitions per round was
+      // the measured q40 cost at sf0.1 (a 13k-edge graph cached in 64
+      // partitions × 2 scans × 8 half-steps ≈ a thousand no-op tasks).
+      val gp = math.max(1L, math.min(2 * eCnt / 50000L + 1,
+        4L * spark.sparkContext.defaultParallelism)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", gp.toString)
       val sym = e.select(col("src"), col("dst"),
           col("weight").cast("long").as("w"))
         .union(e.select(col("dst").as("src"), col("src").as("dst"),
           col("weight").cast("long").as("w")))
-      ud = sym.persist(StorageLevel.MEMORY_AND_DISK)
+      ud = sym.repartition(gp).persist(StorageLevel.MEMORY_AND_DISK)
       val m = ud.count() // materialize once; rounds re-read the blocks
-      if (m == 0)
-        return use(e.select(col("src").as("doc_id"),
-          col("src").as("community")).where(lit(false)))
-      // Size round shuffles to the graph, not the corpus-width session
-      // default (see pageRank: task-launch overhead × stages × rounds).
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(m / 50000L + 1,
-          4L * spark.sparkContext.defaultParallelism)).toString)
       // Every node in an edge list has ≥1 incident edge, so the dst-side
       // aggregation reaches ALL parity-p nodes each half-step — no
       // dangling-node join.
@@ -198,20 +215,22 @@ object GraphOps {
           .agg(max_by(col("label"),
             struct(col("wsum"), (-col("label")).as("neg"))).as("label"))
         prev.where(pmod(col("id"), lit(2)) =!= p).unionByName(upd)
-          .localCheckpoint(true)
       }
       var it = 0
       while (it < iters) {
-        val even = halfStep(labels, 0)
+        // ONE eager checkpoint per ROUND (not per half-step): the odd
+        // half-step composes lazily over the even one — the round's plan
+        // stays constant-size over the checkpointed leaf, and the job count
+        // halves (job-launch overhead dominated the 6.6k-node graph).
+        val next = halfStep(halfStep(labels, 0), 1).localCheckpoint(true)
         org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
-        val odd = halfStep(even, 1)
-        org.apache.spark.sql.graft.CheckpointBlocks.release(even)
-        labels = odd
+        labels = next
         it += 1
       }
       use(labels.select(col("id").as("doc_id"), col("label").as("community")))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       e.unpersist()
       if (ud != null) { ud.unpersist(); () }
       if (labels != null)
@@ -239,47 +258,78 @@ object GraphOps {
     * lets the DuckDB oracle use the naive id-ordered 3-way join and still
     * have to agree row-for-row.
     *
+    * The DAG references the edge table from MANY branches (degrees, the
+    * two wedge sides, the closing join, the final hydration) — with a
+    * pipeline-derived edge lineage each branch would re-execute the whole
+    * co-mention aggregation (measured: ~30 re-executions, 230-480 s at
+    * sf0.1). The shared tables (edges, degrees, oriented) are therefore
+    * eagerly `localCheckpoint`ed — each is computed ONCE and every branch
+    * reads its blocks — and the shuffles are sized to the graph, not the
+    * corpus-width session default (the pageRank lesson). Loan-pattern API
+    * like [[pageRank]]: materialize inside `use`; all checkpoint blocks
+    * are released on return.
+    *
     * Output: (doc_id, degree, triangles, clustering) — clustering =
     * 2·T/(deg·(deg−1)) rounded to 9 (the one division; counts are exact
     * BIGINTs), 0 for degree-1 nodes. */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    // Orient by (deg, id): lo = the smaller endpoint under that order.
-    val withDeg = e
-      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
-      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
-    val oriented = withDeg.select(
-      when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
-        struct(col("src").as("lo"), col("dst").as("hi")))
-        .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
-        .as("o"))
-      .select(col("o.lo").as("lo"), col("o.hi").as("hi"))
-      .join(deg.withColumnRenamed("id", "hi").withColumnRenamed("deg", "hdeg"), "hi")
-    // Wedges at the lowest-ranked corner: out-neighbor pairs ordered by
-    // (deg, id) so each triangle closes exactly once.
-    val w1 = oriented.select(col("lo").as("a"), col("hi").as("b"),
-      col("hdeg").as("bdeg"))
-    val w2 = oriented.select(col("lo").as("a"), col("hi").as("c"),
-      col("hdeg").as("cdeg"))
-    val wedges = w1.join(w2, Seq("a"))
-      .where(struct(col("bdeg"), col("b")) < struct(col("cdeg"), col("c")))
-    val closer = oriented.select(col("lo").as("b"), col("hi").as("c"))
-    val tris = wedges.join(closer, Seq("b", "c"))
-      .select(col("a"), col("b"), col("c"))
-    val corner = tris.select(col("a").as("id"))
-      .union(tris.select(col("b").as("id")))
-      .union(tris.select(col("c").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
-    deg.join(corner, Seq("id"), "left")
-      .select(col("id").as("doc_id"), col("deg").as("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"),
-        when(col("deg") < 2, lit(0.0))
-          .otherwise(round(
-            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-              (col("deg") * (col("deg") - lit(1L))), 9))
-          .as("clustering"))
+  def triangleStats[T](edges: DataFrame)(use: DataFrame => T): T = {
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val release = org.apache.spark.sql.graft.CheckpointBlocks.release _
+    var e: DataFrame = null
+    var deg: DataFrame = null
+    var oriented: DataFrame = null
+    try {
+      e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+      val m = e.count() // cheap: counts the checkpointed blocks
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(m / 50000L + 1,
+          4L * spark.sparkContext.defaultParallelism)).toString)
+      deg = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      // Orient by (deg, id): lo = the smaller endpoint under that order.
+      val withDeg = e
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+      oriented = withDeg.select(
+        when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+          struct(col("src").as("lo"), col("dst").as("hi")))
+          .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
+          .as("o"))
+        .select(col("o.lo").as("lo"), col("o.hi").as("hi"))
+        .join(deg.withColumnRenamed("id", "hi").withColumnRenamed("deg", "hdeg"), "hi")
+        .localCheckpoint(true)
+      // Wedges at the lowest-ranked corner: out-neighbor pairs ordered by
+      // (deg, id) so each triangle closes exactly once.
+      val w1 = oriented.select(col("lo").as("a"), col("hi").as("b"),
+        col("hdeg").as("bdeg"))
+      val w2 = oriented.select(col("lo").as("a"), col("hi").as("c"),
+        col("hdeg").as("cdeg"))
+      val wedges = w1.join(w2, Seq("a"))
+        .where(struct(col("bdeg"), col("b")) < struct(col("cdeg"), col("c")))
+      val closer = oriented.select(col("lo").as("b"), col("hi").as("c"))
+      val tris = wedges.join(closer, Seq("b", "c"))
+        .select(col("a"), col("b"), col("c"))
+      val corner = tris.select(col("a").as("id"))
+        .union(tris.select(col("b").as("id")))
+        .union(tris.select(col("c").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("triangles"))
+      use(deg.join(corner, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("deg").as("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("deg") < 2, lit(0.0))
+            .otherwise(round(
+              lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+                (col("deg") * (col("deg") - lit(1L))), 9))
+            .as("clustering")))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (e != null) release(e)
+      if (deg != null) release(deg)
+      if (oriented != null) release(oriented)
+      ()
+    }
   }
 }

@@ -635,12 +635,13 @@ class OpsSpec extends AnyFunSuite {
     }
     def run(edges: Seq[(Long, Long)]) =
       graft.kg.GraphOps.triangleStats(
-          edges.toDF("src", "dst").withColumn("weight", lit(1L)))
-        .collect()
-        .map(r => r.getAs[Long]("doc_id") ->
-          ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
-            r.getAs[Double]("clustering"))))
-        .toMap
+          edges.toDF("src", "dst").withColumn("weight", lit(1L))) {
+        _.collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+              r.getAs[Double]("clustering"))))
+          .toMap
+      }
     val known = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
     assert(run(known) == naive(known))
     val got = run(known)
