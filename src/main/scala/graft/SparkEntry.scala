@@ -766,6 +766,14 @@ object SparkEntry {
     }),
 
     // ---------------- text analysis (documents) ----------------------------
+    "q44_heavy_hitters" -> ((s, dir) => {
+      // Count-min-sketch heavy hitters: fixed-memory vocabulary statistics
+      // (the sketch a 100 TB corpus uses where an exact token table is
+      // corpus-sized), exact counts alongside as the accuracy witness.
+      // Exact integer arithmetic end-to-end — fully oracled.
+      TextOps.heavyHitters(t(s, dir, "documents"), topK = Q44TopK)
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+    }),
     "q11_token_counts" -> ((s, dir) => {
       TextOps.tokenCounts(t(s, dir, "documents"))
         .select("doc_id", "n_words", "n_tokens_est").orderBy("doc_id")
@@ -994,12 +1002,14 @@ object SparkEntry {
     * lines. DuckDB regular strings do not process backslash escapes, so
     * '\' is one backslash and '\\' two; control chars via chr(). */
   private def kgNTriplesOracleSql: String = {
-    // NOTE: Scala triple-quoted strings do NOT process escapes — every
-    // backslash below is literal, exactly as DuckDB receives it.
+    // NOTE: the s-interpolator processes escape sequences EVEN in
+    // triple-quoted strings, so every backslash below is doubled in source;
+    // DuckDB (which does not process backslash escapes in its string
+    // literals) receives exactly replace($x, '\', '\\') etc.
     def esc(x: String): String =
       s"""replace(replace(replace(replace(replace($x,
-         '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
-         chr(9), '\t')"""
+         '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+         chr(9), '\\t')"""
     s"""WITH base AS ($kgTriplesOracleSql)
        SELECT '<graft:turn/' || ${esc("subj")} || '> <graft:pred/' || pred
          || '> "' || ${esc("obj")} || '" .' AS line
@@ -1684,6 +1694,7 @@ object SparkEntry {
     "q41_triangles" -> q41OracleSql,
     "q42_ann_pq" -> q42OracleSql,
     "q43_decontaminate_fuzzy" -> q43OracleSql,
+    "q44_heavy_hitters" -> q44OracleSql,
     "kg_ntriples" -> kgNTriplesOracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
@@ -2219,6 +2230,36 @@ object SparkEntry {
      FROM vj GROUP BY sid ORDER BY doc_id"""
   }
 
+  /** q44: the count-min sketch replayed in SQL — same whitespace
+    * tokenization as q11/q31, same md5-prefix bucket keys, the depth×256
+    * counter table, and min-over-rows estimates for the exact top-K.
+    * Exact integers end-to-end. */
+  private def q44OracleSql: String = {
+    val depth = 4
+    val rowsVals = (0 until depth).map(r => s"($r)").mkString(",")
+    s"""WITH tok AS (
+         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+         FROM documents WHERE length(trim(text)) > 0),
+       tk AS (SELECT t FROM tok WHERE t <> ''),
+       cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt
+               FROM tk GROUP BY t),
+       top AS (SELECT t, exact_cnt FROM cnt
+               ORDER BY exact_cnt DESC, t ASC LIMIT $Q44TopK),
+       rws AS (SELECT r FROM (VALUES $rowsVals) v(r)),
+       ctr AS (SELECT rws.r AS r,
+                 substr(md5(tk.t || '#' || CAST(rws.r AS VARCHAR)), 1, 2) AS b,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM tk CROSS JOIN rws GROUP BY rws.r, b),
+       est AS (SELECT top.t, top.exact_cnt, min(ctr.c) AS cms_est
+               FROM top CROSS JOIN rws
+               JOIN ctr ON ctr.r = rws.r
+                 AND ctr.b = substr(
+                   md5(top.t || '#' || CAST(rws.r AS VARCHAR)), 1, 2)
+               GROUP BY top.t, top.exact_cnt)
+       SELECT t AS token, exact_cnt, cms_est FROM est
+       ORDER BY exact_cnt DESC, token ASC"""
+  }
+
   /** q30: decontamination recomputed in SQL — distinct eval-set shingles,
     * inner-join the corpus shingle rows, count per doc. */
   private def q30OracleSql: String =
@@ -2463,6 +2504,8 @@ object SparkEntry {
   private[graft] val PqRerank = 4
   // q43 fuzzy-decontamination verdict threshold (round-6 exact Jaccard).
   private[graft] val Q43Tau = 0.5
+  // q44 heavy-hitters report size (CMS depth fixed at 4 in TextOps).
+  private[graft] val Q44TopK = 50
   // Dimension of the harness's embeddings table — the oracle's mean CTE
   // iterates positions 1..EmbDim explicitly (DuckDB would yield NULL past
   // the list end and silently freeze every centroid); the Spark side

@@ -20,6 +20,49 @@ object TextOps {
           .cast("bigint"))
   }
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over the
+    * corpus token stream — the bounded-memory vocabulary-statistics
+    * primitive a 100 TB corpus needs where an exact token→count table
+    * would itself be corpus-sized: the sketch is a FIXED `depth`×256
+    * counter table (mergeable by addition, so Spark's map-side partial
+    * aggregation IS the distributed sketch merge; at extreme scale the
+    * same math runs as one local sketch per partition via mapPartitions
+    * and a tiny tree-reduce). Bucket keys are the first two hex chars of
+    * md5(token + "#" + row) — width 256 per row, engine-portable with no
+    * integer hex conversion, the same md5 contract the fingerprint oracle
+    * (q13) already pins cross-engine.
+    *
+    * Output: the `topK` exact-frequency tokens with BOTH their exact count
+    * and their sketch estimate — cms_est ≥ exact_cnt always (the CMS
+    * one-sided error guarantee; equality iff no colliding token shares all
+    * `depth` buckets). Everything is exact integer arithmetic, so the
+    * DuckDB oracle replays tokenization, the counter table, and the
+    * min-over-rows estimates and must agree exactly. The exact-count side
+    * here doubles as the accuracy witness; a pure-sketch deployment drops
+    * it. */
+  def heavyHitters(docs: DataFrame, textCol: String = "text",
+      depth: Int = 4, topK: Int = 50): DataFrame = {
+    val toks = docs.select(explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+    def bucketCols(tok: Column) = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        substring(md5(concat(tok, lit("#" + r))), 1, 2).as("b"))
+    }
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.orderBy(col("exact_cnt").desc, col("t").asc).limit(topK)
+    val ctr = toks.select(explode(array(bucketCols(col("t")): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = top.select(col("t"), col("exact_cnt"),
+        explode(array(bucketCols(col("t")): _*)).as("rb"))
+      .select(col("t"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    // The counter table is depth×256 rows by construction — broadcast.
+    probes.join(broadcast(ctr), Seq("r", "b"))
+      .groupBy(col("t").as("token"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+  }
+
   /** Quality-scoring signals: length, word stats, punctuation/digit/upper
     * ratios, stopword ratio — the standard pre-training quality heuristics. */
   def qualitySignals(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -511,6 +511,40 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1) == out, "label propagation must be partitioning-invariant")
   }
 
+  test("count-min heavy hitters: estimates >= exact, match a naive sketch replay") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a a a b b c d"),
+      (1L, "a b e f g"),
+      (2L, "a c c h"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.heavyHitters(docs, depth = 4, topK = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // Naive replay with the same contracts: whitespace tokens, md5-prefix
+    // buckets, min over depth rows.
+    val toks = Seq("a a a b b c d", "a b e f g", "a c c h")
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    def bucket(t: String, r: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((t + "#" + r).getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString.substring(0, 2)
+    }
+    val counters = (for { t <- toks; r <- 0 until 4 } yield (r, bucket(t, r)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(5)
+    val expected = top.map { case (t, c) =>
+      t -> ((c, (0 until 4).map(r => counters((r, bucket(t, r)))).min))
+    }.toMap
+    assert(out == expected)
+    // CMS one-sided error: never underestimates.
+    assert(out.forall { case (_, (exactC, est)) => est >= exactC })
+    assert(out("a")._1 == 5L)
+  }
+
   test("fuzzy decontamination flags paraphrase-level eval overlap with verified jaccard") {
     val s = spark
     // Eval doc 2 is a near-dup (one word differs) of corpus docs 0/1;
