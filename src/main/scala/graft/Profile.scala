@@ -30,11 +30,18 @@ object Profile {
       private val tasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
       private val maxes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAccumulator]()
       private val counts = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+      private val swrite = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+      private val sread = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = te.taskInfo.duration
         tasks.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAdder).add(d)
         maxes.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAccumulator(Math.max(_, _), 0L)).accumulate(d)
         counts.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAdder).add(1)
+        val m = te.taskMetrics
+        if (m != null) {
+          swrite.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAdder).add(m.shuffleWriteMetrics.bytesWritten)
+          sread.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAdder).add(m.shuffleReadMetrics.totalBytesRead)
+        }
       }
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val id = sc.stageInfo.stageId
@@ -43,7 +50,11 @@ object Profile {
           val tot = Option(tasks.get(id)).map(_.sum).getOrElse(0L)
           val mx = Option(maxes.get(id)).map(_.get).getOrElse(0L)
           val n = Option(counts.get(id)).map(_.sum).getOrElse(0L)
-          println(f"[stage] $id ${sc.stageInfo.name.take(40)} wall=${wall}ms tasks=$n taskSum=${tot}ms taskMax=${mx}ms")
+          val sw = Option(swrite.get(id)).map(_.sum).getOrElse(0L)
+          val sr = Option(sread.get(id)).map(_.sum).getOrElse(0L)
+          val site = sc.stageInfo.details.linesIterator
+            .filterNot(_.contains("org.apache.spark")).take(2).mkString(" <- ")
+          println(f"[stage] $id ${sc.stageInfo.name.take(60)} wall=${wall}ms tasks=$n taskSum=${tot}ms taskMax=${mx}ms shufW=${sw / 1048576}MB shufR=${sr / 1048576}MB site=$site")
         }
       }
     })
@@ -126,6 +137,20 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       m.count(); m
     }
+    // GRAFT_AB_QSPREAD=1: A/B the query-side rebalance (qspread) in ONE
+    // session — ABBA order so JIT warmup and drifting ambient contention
+    // charge both arms equally.
+    if (sys.env.get("GRAFT_AB_QSPREAD").exists(v => v.nonEmpty && v != "0")) {
+      for ((qs, i) <- Seq(true, false, false, true).zipWithIndex) {
+        time(s"linkTopKAuto qspread=$qs rep$i") {
+          Linker.linkTopKAuto(spark, mentions.map(_.doc), docs, 5,
+            idf = Some(idf), qspread = qs).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // GRAFT_FUSED=0 profiles the legacy prestamped path (attachIdf cogroup
     // + idf-carrying blobs) for A/B against the fused default — same
     // session, same input, so ambient noise cancels.

@@ -324,7 +324,8 @@ object Linker {
       dBuckets: Int = 1, blobSize: Int = 256,
       knobsByPk: Map[String, CellKnobs] = Map.empty,
       idf: Option[Dataset[graft.model.IdfRow]] = None,
-      wand: Boolean = WandDefault): Dataset[LinkHit] = {
+      wand: Boolean = WandDefault,
+      qspread: Boolean = QSpreadDefault): Dataset[LinkHit] = {
     import spark.implicits._
     val default = CellKnobs(math.max(1, qBuckets), math.max(1, dBuckets))
     val bknobs = spark.sparkContext.broadcast(knobsByPk)
@@ -348,7 +349,24 @@ object Linker {
 
     // db(pk)==1: each query visits exactly one cell. db(pk)>1: queries
     // replicate across the doc buckets (partial top-k merged below).
-    val qKeyed = queries
+    //
+    // The query side typically arrives CLUSTERED by partKey (stampQueryIdf's
+    // cogroup leaves one partition per district), so without a rebalance the
+    // ×dBuckets replication flatMap and its shuffle write for a hot district
+    // run inside ONE map task — measured as an 81 s straggler (= the fixed
+    // Amdahl term that capped 2→8-core scaling at 0.62) at the sf0.1 scaling
+    // point: the hot district's 210k queries × db=60 ≈ 6.6 GB written
+    // serially. One cheap extra shuffle of the small UNREPLICATED query side
+    // (hash on queryId — uniform by construction) makes the replication
+    // stage embarrassingly parallel. Bit-identical results: the cell cogroup
+    // re-keys every row anyway, and per-query top-k is order-independent.
+    val qSpread =
+      if (!qspread) queries
+      else queries.repartition(
+        math.max(spark.sparkContext.defaultParallelism,
+          spark.sessionState.conf.numShufflePartitions),
+        org.apache.spark.sql.functions.col("docId"))
+    val qKeyed = qSpread
       .flatMap(q => (0 until dbOf(bknobs.value, q.partKey)).map(dbk => (dbk, q)))
       .groupByKey { case (dbk, q) =>
         (q.partKey,
@@ -519,7 +537,8 @@ object Linker {
       maxQBuckets: Int = 256, bcastQMax: Long = 512,
       bcastTotalMax: Long = 1L << 17,
       idf: Option[Dataset[graft.model.IdfRow]] = None,
-      wand: Boolean = WandDefault): Dataset[LinkHit] = {
+      wand: Boolean = WandDefault,
+      qspread: Boolean = QSpreadDefault): Dataset[LinkHit] = {
     import spark.implicits._
     val plan = planRoutes(countStats(spark, queries, docs),
       spark.sparkContext.defaultParallelism, targetPairsPerCell,
@@ -535,7 +554,7 @@ object Linker {
       docs.filter(d => bShuffle.value.contains(d.partKey)),
       topN, qBuckets = 1, dBuckets = 1, knobsByPk = knobs,
       idf = idf.map(_.filter(r => bShuffle.value.contains(r.partKey))),
-      wand = wand)
+      wand = wand, qspread = qspread)
 
     if (bcastPks.isEmpty) restHits
     else {
@@ -847,6 +866,12 @@ object Linker {
     * bytes × cell pairs, inside the task-memory valve); float summation of
     * ≤ ~64 non-negative terms has relative error ≤ 63·2^-24 ≈ 3.8e-6, so
     * inflating by 1e-4 provably restores admissibility. */
+  /** Kill switch for A/B measurement (GRAFT_QSPREAD=0) of the query-side
+    * rebalance before the ×dBuckets replication; results are bit-identical
+    * either way (partitioning never reaches semantics). */
+  private[graft] val QSpreadDefault: Boolean =
+    sys.env.get("GRAFT_QSPREAD").forall(_ != "0")
+
   private val WandSafety = 1.0001
   /** Kill switch for A/B measurement (GRAFT_WAND=0); results are
     * bit-identical either way (WandSpec), only CPU changes. */

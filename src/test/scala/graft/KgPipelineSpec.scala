@@ -252,6 +252,25 @@ class KgPipelineSpec extends AnyFunSuite {
       .map(h => (h.queryId, h.docId, h.rank,
         java.lang.Double.doubleToLongBits(h.similarity))).toSet
     assert(autoBcastFused == base)
+
+    // Query-side rebalance (round 5): the repartition before the ×dBuckets
+    // replication is pure partitioning — on vs off must be bit-identical,
+    // with db > 1 so the replicated path actually runs, and through the
+    // fused auto route (the shape the scaling job executes). The runs above
+    // all use the default (on); these pin the off arm to the same set.
+    val noSpread = Linker.linkTopK(s, docs, docs, 5, qBuckets = 7,
+        dBuckets = 3, blobSize = 16, qspread = false)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(noSpread == base)
+    val autoFusedNoSpread = Linker.linkTopKAuto(s, docs, docs0, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 0,
+        idf = Some(idf), qspread = false)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(autoFusedNoSpread == base)
   }
 
   test("co-mention adjacency: edge weights count distinct conversations") {
