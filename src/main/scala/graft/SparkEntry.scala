@@ -616,6 +616,18 @@ object SparkEntry {
           docs.where(col("doc_id") % 50 === 7), n = 16)
         .orderBy("doc_id")
     }),
+    "q46_decontaminate_bloom" -> ((s, dir) => {
+      // The same decontamination behind a 2^20-bit Bloom prefilter (the
+      // broadcast-sketch join-pruning pattern for eval sets too big to
+      // broadcast as strings). One-sided membership + the exact verify join
+      // pin the output identical to q30 — it shares q30's DuckDB oracle, so
+      // the driver independently confirms prefiltered == exact every round.
+      val docs = t(s, dir, "documents")
+      DedupOps.decontaminateBloom(
+          docs.where(col("doc_id") % 50 =!= 7),
+          docs.where(col("doc_id") % 50 === 7), n = 16)
+        .orderBy("doc_id")
+    }),
     "q31_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signal: duplicate word-bigram
       // fraction per document (boilerplate/degenerate-generation detector).
@@ -773,6 +785,13 @@ object SparkEntry {
       // Exact integer arithmetic end-to-end — fully oracled.
       TextOps.heavyHitters(t(s, dir, "documents"), topK = Q44TopK)
         .orderBy(col("exact_cnt").desc, col("token").asc)
+    }),
+    "q45_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog per-language vocabulary cardinality: the bounded-memory
+      // distinct-count sketch (256 max-registers per group, map-side
+      // mergeable) with the exact distinct count as accuracy witness.
+      // md5-string register contract — fully oracled.
+      TextOps.hllDistinct(t(s, dir, "documents")).orderBy("lang")
     }),
     "q11_token_counts" -> ((s, dir) => {
       TextOps.tokenCounts(t(s, dir, "documents"))
@@ -1695,6 +1714,11 @@ object SparkEntry {
     "q42_ann_pq" -> q42OracleSql,
     "q43_decontaminate_fuzzy" -> q43OracleSql,
     "q44_heavy_hitters" -> q44OracleSql,
+    "q45_hll_distinct" -> q45OracleSql,
+    // q46 is q30 behind a Bloom prefilter whose one-sided membership + exact
+    // verify join make the output provably identical — same oracle, so the
+    // driver confirms the equivalence independently every round.
+    "q46_decontaminate_bloom" -> q30OracleSql,
     "kg_ntriples" -> kgNTriplesOracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
@@ -2258,6 +2282,48 @@ object SparkEntry {
                GROUP BY top.t, top.exact_cnt)
        SELECT t AS token, exact_cnt, cms_est FROM est
        ORDER BY exact_cnt DESC, token ASC"""
+  }
+
+  /** q45: the HyperLogLog sketch replayed in SQL. Register index/rank come
+    * from the same md5-string arithmetic (leading-'0' strip + nibble CASE),
+    * 2^-M_j is the exact `1/(1<<M_j)` BIGINT shift, the harmonic sum is
+    * exact in IEEE double (see [[graft.ops.TextOps.hllDistinct]]), and
+    * α_m·m² is the SAME shortest-round-trip literal — so Spark and DuckDB
+    * agree bit-for-bit up to the round(…,4) ln contract. NOTE DuckDB `log`
+    * is log10; natural log is `ln`. */
+  private def q45OracleSql: String = {
+    val aM2 = graft.ops.TextOps.HllAlphaM2
+    s"""WITH tok AS (
+         SELECT lang AS g, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         FROM documents WHERE length(trim(text)) > 0),
+       tk AS (SELECT g, t FROM tok WHERE t <> ''),
+       hx AS (SELECT g, t, md5(t) AS h FROM tk),
+       rho AS (SELECT g, substr(h, 1, 2) AS b,
+           CASE WHEN length(ltrim(substr(h, 3, 8), '0')) = 0 THEN 33
+                ELSE (8 - length(ltrim(substr(h, 3, 8), '0'))) * 4 +
+                  (CASE substr(ltrim(substr(h, 3, 8), '0'), 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1 ELSE 0 END) + 1 END AS r
+         FROM hx),
+       regs AS (SELECT g, b, max(r) AS m_j FROM rho GROUP BY g, b),
+       sk AS (SELECT g,
+           sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m_j)) AS s_present,
+           count(*) AS n_present
+         FROM regs GROUP BY g),
+       ex AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+              FROM tk GROUP BY g),
+       est AS (SELECT g,
+           CAST($aM2 AS DOUBLE) / (s_present + (256 - n_present)) AS e_raw,
+           256 - n_present AS v
+         FROM sk)
+       SELECT ex.g AS lang, ex.n_exact,
+         round(CASE WHEN est.e_raw <= 640.0 AND est.v > 0
+             THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / est.v)
+             ELSE est.e_raw END, 4) AS hll_est,
+         CAST(est.v AS BIGINT) AS n_zero_regs
+       FROM ex JOIN est ON ex.g = est.g
+       ORDER BY lang"""
   }
 
   /** q30: decontamination recomputed in SQL — distinct eval-set shingles,

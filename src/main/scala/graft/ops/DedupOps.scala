@@ -103,6 +103,72 @@ object DedupOps {
       .select(col("sid").as(idCol), col("n_hits"))
   }
 
+  /** The Bloom bit-position hash family: k independent universal hashes,
+    * seeded apart from the MinHash/SimHash families, applied to an
+    * xxhash64-derived base hash (the filter is invisible to the oracle —
+    * output equality with [[decontaminate]] is the contract — so the
+    * engine-portable polynomial is not needed and xxhash64's unbounded
+    * shingle length is: the base-31 polynomial overflows past ~13 chars).
+    * Shared by build and probe sides so positions line up. */
+  def bloomParams(k: Int): Seq[(Long, Long)] = hashParams(k, 7)
+
+  /** [[decontaminate]] behind a BLOOM-FILTER prefilter — the broadcast-sketch
+    * join-pruning pattern for the regime where even the eval set's distinct
+    * shingle STRINGS are too big to broadcast (a wide eval suite at 100 TB:
+    * tens of GB of 16-char shingles), but a fixed `mBits` bit array (default
+    * 2^20 bits = 128 KB) is not: every executor drops the overwhelming
+    * majority of corpus shingles against the bitset BEFORE the exact join,
+    * so the broadcast-join probe side shrinks from all corpus shingles to
+    * true hits + the Bloom false-positive residue.
+    *
+    * The OUTPUT is pinned identical to [[decontaminate]]: Bloom membership
+    * is one-sided (no false negatives — every true hit's k positions were
+    * set by the build side), and survivors still pass through the exact
+    * shingle equi-join, so false positives die there and the hit counts
+    * cannot differ. The driver checks exactly that: q46 shares q30's DuckDB
+    * oracle. The filter is built DISTRIBUTED (eval shingles → k positions
+    * each → distinct) and collected bounded by `mBits` rows (the IVF
+    * centroid-table pattern); the probe is a typed narrow mapPartitions
+    * against the broadcast word array — the one place a Column expression
+    * genuinely cannot index a 2^20-bit side structure. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 16, mBits: Int = 1 << 20, kHash: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val params = bloomParams(kHash)
+    val posCols = params.map { case (a, b) =>
+      (pmod(col("h") * lit(a) + lit(b), lit(HashP)) % lit(mBits.toLong))
+        .cast("long")
+    }
+    val setPositions = shingleRows(evalSet, idCol, textCol, n)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(HashP)))
+      .select(explode(array(posCols: _*)).as("pos"))
+      .distinct()
+      .as[Long].collect() // ≤ mBits rows by construction — driver-bounded
+    val words = new Array[Long]((mBits + 63) >> 6)
+    setPositions.foreach { p => words(p.toInt >> 6) |= 1L << (p.toInt & 63) }
+    val bcWords = spark.sparkContext.broadcast(words)
+    val survivors = shingleRows(corpus, idCol, textCol, n)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(HashP)))
+      .select(col("sid"), col("shingle"), col("h"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val w = bcWords.value
+        it.filter { case (_, _, h) =>
+          params.forall { case (a, b) =>
+            val p = ((h * a + b) % HashP % mBits).toInt
+            (w(p >> 6) & (1L << (p & 63))) != 0L
+          }
+        }
+      }.toDF("sid", "shingle", "h")
+    val evalShingles =
+      shingleRows(evalSet, idCol, textCol, n).select("shingle").distinct()
+    survivors.join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_hits"))
+      .select(col("sid").as(idCol), col("n_hits"))
+  }
+
   /** FUZZY benchmark decontamination: flag corpus documents whose
     * MinHash-LSH banded signature collides with ANY eval/benchmark document,
     * then verify each candidate by the EXACT shingle-set Jaccard — the

@@ -63,6 +63,77 @@ object TextOps {
       .agg(min(col("c")).as("cms_est"))
   }
 
+  /** HLL registers: 256 (two md5 hex chars) — rel. error ≈ 1.04/√256 = 6.5%. */
+  val HllM = 256
+
+  /** α_m·m² for m=256 (Flajolet et al. 2007 bias constant). Computed ONCE
+    * here and embedded in the oracle SQL as its shortest-round-trip decimal
+    * literal, so both engines hold the bit-identical double. */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+
+  /** HyperLogLog distinct-count estimate (Flajolet, Fusy, Gandouet, Meunier
+    * 2007) of the per-group token vocabulary — the cardinality companion to
+    * [[heavyHitters]]'s count-min frequency sketch, and the bounded-memory
+    * primitive a 100 TB corpus needs where the exact distinct-token table is
+    * itself corpus-sized. The sketch is a FIXED 256-register max table per
+    * group (register = max leading-zero rank seen), so Spark's map-side
+    * partial MAX aggregation IS the distributed sketch merge: duplicate
+    * tokens collapse inside each task and the shuffle carries at most
+    * groups×256 rows regardless of corpus size.
+    *
+    * Engine-portable by construction (the q13/q44 md5-string contract):
+    * register index = first two hex chars of md5(token); the rank ρ comes
+    * from hex chars 3..10 (a 32-bit window) via STRING arithmetic — stripped
+    * leading-'0' hex chars × 4 plus a CASE table on the first non-zero hex
+    * digit — no integer hex conversion, no bit ops, no log2 whose rounding
+    * engines could disagree on. The harmonic sum Σ2^-M_j is EXACT in IEEE
+    * double (≤256 dyadic terms spanning 2^0..2^-33 need 42 mantissa bits, so
+    * every partial sum is exact in any order — summing order cannot matter),
+    * each 2^-M_j is an exact table lookup of 1.0/(1L<<M_j), and α_m·m² is the
+    * shared literal above — so the only cross-engine float risk is the final
+    * ln in the small-range linear-counting branch, bounded by the round(…,4)
+    * contract. The exact distinct count rides alongside as the accuracy
+    * witness (a pure-sketch deployment drops it — that column is the one
+    * that does not scale). */
+  def hllDistinct(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+    val h = md5(col("t"))
+    // ρ = leading-zero bits of the 32-bit window (md5 hex chars 3..10) + 1;
+    // all-zero window → 33. Pure string arithmetic, identical in DuckDB.
+    val stripped = regexp_replace(substring(h, 3, 8), "^0+", "")
+    val firstNz = substring(stripped, 1, 1)
+    val lzInNibble = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(length(stripped) === 0, lit(33))
+      .otherwise((lit(8) - length(stripped)) * 4 + lzInNibble + 1)
+    val regs = toks
+      .groupBy(col("g"), substring(h, 1, 2).as("b"))
+      .agg(max(rho).as("m_j"))
+    // 2^-M_j as an exact-dyadic literal table (shiftleft needs a literal
+    // shift in the Scala API; the lookup stays whole-stage codegen'd).
+    val inv2 = element_at(
+      array((1 to 33).map(k => lit(1.0 / (1L << k).toDouble)): _*),
+      col("m_j").cast("int"))
+    val sketch = regs.groupBy(col("g")).agg(
+      sum(inv2).as("s_present"), count(lit(1)).as("n_present"))
+    val exact = toks.groupBy(col("g"))
+      .agg(count_distinct(col("t")).as("n_exact"))
+    val v = lit(HllM) - col("n_present") // empty registers (M_j = 0)
+    val harm = col("s_present") + v.cast("double") // absent registers add 2^0
+    val eRaw = lit(HllAlphaM2) / harm
+    val est = when(eRaw <= lit(2.5 * HllM) && v > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / v.cast("double")))
+      .otherwise(eRaw)
+    exact.join(sketch, "g")
+      .select(col("g").as(groupCol), col("n_exact"),
+        round(est, 4).as("hll_est"), v.cast("bigint").as("n_zero_regs"))
+  }
+
   /** Quality-scoring signals: length, word stats, punctuation/digit/upper
     * ratios, stopword ratio — the standard pre-training quality heuristics. */
   def qualitySignals(docs: DataFrame, textCol: String = "text"): DataFrame = {

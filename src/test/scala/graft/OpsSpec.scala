@@ -283,6 +283,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(0L -> 11L, 2L -> 5L))
   }
 
+  test("bloom decontaminate: identical to exact; prefilter prunes clean shingles") {
+    val s = spark
+    import s.implicits._
+    val ev = "SECRETBENCHMARKANSWERTOKEN"
+    val corpus = Seq(
+      (0L, s"prefix words $ev suffix words"),
+      (1L, "totally unrelated content with no overlap at all"),
+      (2L, "leading words " + ev.substring(0, 20) + " out"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, ev)).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val exact = rows(DedupOps.decontaminate(corpus, evalSet))
+    // One-sided membership + exact verify join ⇒ identical output, at the
+    // default filter size and at a tiny 256-bit filter (heavy FP rate: the
+    // false positives must die at the verify join, never add hits).
+    assert(rows(DedupOps.decontaminateBloom(corpus, evalSet)) == exact)
+    assert(rows(DedupOps.decontaminateBloom(corpus, evalSet,
+      mBits = 256, kHash = 2)) == exact)
+    // The prefilter must actually prune: corpus shingles vastly outnumber
+    // the survivors at the default size (FP rate ≈ 0 here).
+    val total = DedupOps.shingleRows(corpus, "doc_id", "text", 16).count()
+    val hits = exact.values.sum
+    assert(total > 3 * hits, s"test premise: clean shingles dominate ($total)")
+  }
+
   test("repetition signals: dup bigram fraction exact; short docs report 0") {
     val s = spark
     import s.implicits._
@@ -543,6 +569,66 @@ class OpsSpec extends AnyFunSuite {
     // CMS one-sided error: never underestimates.
     assert(out.forall { case (_, (exactC, est)) => est >= exactC })
     assert(out("a")._1 == 5L)
+  }
+
+  test("hll distinct: matches a naive sketch replay, partition-invariant, accurate") {
+    val s = spark
+    import s.implicits._
+    // Two groups: 'en' with 3000 distinct tokens (sketch estimation regime),
+    // 'de' with 4 distinct tokens (linear-counting branch).
+    val docs = ((0 until 600).map { i =>
+      (i.toLong, (0 until 5).map(j => s"tok${i * 5 + j}").mkString(" "), "en")
+    } :+ (9000L, "wer und was und wer wo", "de"))
+      .toDF("doc_id", "text", "lang")
+
+    def run(parts: Int) = TextOps.hllDistinct(docs.repartition(parts))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val out = run(1)
+    assert(run(7) == out, "HLL must be partitioning-invariant (mergeable max)")
+
+    // Naive replay with the same contracts: md5-hex registers, string rho.
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def rho(h: String): Int = {
+      val stripped = h.substring(2, 10).dropWhile(_ == '0')
+      if (stripped.isEmpty) 33
+      else {
+        val lz = stripped.head match {
+          case '1' => 3; case '2' | '3' => 2
+          case c if c >= '4' && c <= '7' => 1; case _ => 0
+        }
+        (8 - stripped.length) * 4 + lz + 1
+      }
+    }
+    val toks = docs.collect().flatMap(r =>
+      r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getString(2), t)))
+    val expected = toks.groupBy(_._1).map { case (g, rows) =>
+      val regs = rows.map(_._2).distinct
+        .groupBy(t => md5hex(t).substring(0, 2))
+        .view.mapValues(ts => ts.map(t => rho(md5hex(t))).max).toMap
+      val v = 256 - regs.size
+      val harm = regs.values.map(m => 1.0 / (1L << m).toDouble).sum + v
+      val eRaw = TextOps.HllAlphaM2 / harm
+      val est = if (eRaw <= 2.5 * 256 && v > 0) 256.0 * math.log(256.0 / v)
+        else eRaw
+      g -> ((rows.map(_._2).distinct.length.toLong,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        v.toLong))
+    }
+    assert(out == expected)
+    // Accuracy: 1.04/sqrt(256) ≈ 6.5% std error; assert a loose 3-sigma.
+    val (nEn, estEn, _) = out("en")
+    assert(nEn == 3000L)
+    assert(math.abs(estEn - nEn) / nEn < 0.2,
+      s"HLL estimate $estEn too far from exact $nEn")
+    // Small-range branch: 'de' lands on linear counting and is near-exact.
+    val (nDe, estDe, zDe) = out("de")
+    assert(nDe == 4L && zDe > 0)
+    assert(math.abs(estDe - nDe) < 1.0)
   }
 
   test("fuzzy decontamination flags paraphrase-level eval overlap with verified jaccard") {
