@@ -437,6 +437,13 @@ object SparkEntry {
       scoped(s, dir, 5, "kg_comention")(r =>
         KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)
           .orderBy("src", "dst"))),
+    "kg_pmi" -> ((s, dir) =>
+      // PMI-weighted co-mention edges: how much more two entities co-occur
+      // than their popularity predicts (conversation units); exact counts +
+      // one ln under the round(…,6) contract — fully oracled.
+      scoped(s, dir, 5, "kg_pmi")(r =>
+        KgPipeline.pmiEdges(s, r.mentions, r.hits, topRank = 1)
+          .orderBy("src", "dst"))),
     "kg_ntriples" -> ((s, dir) =>
       // N-Triples interchange export of the materialized KG — the KG-side
       // analog of the .vt dump (q24); byte-for-byte oracled: DuckDB rebuilds
@@ -616,6 +623,28 @@ object SparkEntry {
           docs.where(col("doc_id") % 50 === 7), n = 16)
         .orderBy("doc_id")
     }),
+    "q48_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval: query docs (doc_id % 50 == 3) retrieve their top-5
+      // corpus docs through the inverted-index postings join. The df-cap
+      // skew guard is corpus-PROPORTIONAL (drop tokens in >90% of docs —
+      // an absolute cap would be scale-dependent; the synthetic vocabulary
+      // is template-heavy, so a tight cap empties the query set). Exact-
+      // integer leaves + the round(…,6) ln contract — fully oracled.
+      val docs = t(s, dir, "documents")
+      val maxDf = math.ceil(0.9 * docs.count()).toLong
+      TextOps.bm25TopK(docs, col("doc_id") % 50 === 3, maxDf = maxDf)
+        .orderBy("qid", "rank")
+    }),
+    "q47_sorted_neighborhood" -> ((s, dir) => {
+      // Sort-based dedup blocking: global (normalized-key, id) order via the
+      // distributed two-pass rank, candidates = the w nearest neighbors in
+      // that order (O(N·w) by construction — no hot-key blowup), each
+      // verified by exact shingle Jaccard. Fully oracled: DuckDB recomputes
+      // ranks with one global window + the same verify join.
+      DedupOps.sortedNeighborhood(t(s, dir, "documents"), w = 3, n = 8,
+          tau = 0.5)
+        .orderBy("a", "b")
+    }),
     "q46_decontaminate_bloom" -> ((s, dir) => {
       // The same decontamination behind a 2^20-bit Bloom prefilter (the
       // broadcast-sketch join-pruning pattern for eval sets too big to
@@ -723,6 +752,27 @@ object SparkEntry {
           graft.kg.GraphOps.triangleStats(
               KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)) {
             ts => stash(s, ts.orderBy("doc_id"), "q41_triangles")
+          }
+        finally r.unpersistAll()
+      }),
+    "q49_adamic_adar" -> ((s, dir) =>
+      // Adamic–Adar link prediction over the co-mention graph — the
+      // KG-completion step: non-adjacent entity pairs scored by shared-
+      // neighbor rarity (Σ 1/ln(deg)). Oracle: DuckDB re-derives the edges
+      // (the green kg_comention derivation) and replays wedges, degrees,
+      // the anti-join, and the round-6 ln sum.
+      {
+        // Not scoped(): loan-pattern — stash INSIDE use so the shared-table
+        // checkpoints free on return (the q35/q40/q41 pattern).
+        val (corpus, turns) = kgInputs(s, dir)
+        val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+        try
+          // minCommon=1 here (default 2 is the at-scale evidence bar): the
+          // sparse sf graph yields a far richer verified surface at 1.
+          graft.kg.GraphOps.adamicAdar(
+              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
+              minCommon = 1) {
+            out => stash(s, out.orderBy("a", "b"), "q49_adamic_adar")
           }
         finally r.unpersistAll()
       }),
@@ -1590,6 +1640,30 @@ object SparkEntry {
          SELECT a.docId AS src, b.docId AS dst, count(*) AS weight
          FROM l a JOIN l b ON a.convId = b.convId AND a.docId < b.docId
          GROUP BY a.docId, b.docId ORDER BY src, dst""",
+    "kg_pmi" ->
+      s"""WITH l AS (
+           SELECT DISTINCT split_part(m.subj, '#', 1) AS convId, h.docId
+           FROM ${sp("hits5")} h JOIN ${sp("mentions")} m
+             ON h.queryId = m.queryId
+           WHERE h.rank <= 1),
+         tot AS (SELECT CAST(count(DISTINCT convId) AS BIGINT) AS n_convs
+                 FROM l),
+         ent AS (SELECT docId, CAST(count(*) AS BIGINT) AS w_ent
+                 FROM l GROUP BY docId),
+         p AS (SELECT a.docId AS src, b.docId AS dst,
+               CAST(count(*) AS BIGINT) AS w_pair
+             FROM l a JOIN l b
+               ON a.convId = b.convId AND a.docId < b.docId
+             GROUP BY a.docId, b.docId)
+         SELECT p.src, p.dst, p.w_pair, es.w_ent AS w_src, ed.w_ent AS w_dst,
+           tot.n_convs,
+           round(ln(CAST(p.w_pair AS DOUBLE) * tot.n_convs /
+             (CAST(es.w_ent AS DOUBLE) * ed.w_ent)), 6) AS pmi
+         FROM p
+         JOIN ent es ON es.docId = p.src
+         JOIN ent ed ON ed.docId = p.dst
+         CROSS JOIN tot
+         ORDER BY src, dst""",
     "kg_meta_triples" ->
       s"""WITH t AS (SELECT subj, role, tool,
              split_part(subj, '#', 1) AS conv FROM ${sp("turns")})
@@ -1719,6 +1793,9 @@ object SparkEntry {
     // verify join make the output provably identical — same oracle, so the
     // driver confirms the equivalence independently every round.
     "q46_decontaminate_bloom" -> q30OracleSql,
+    "q47_sorted_neighborhood" -> q47OracleSql,
+    "q48_bm25_topk" -> q48OracleSql,
+    "q49_adamic_adar" -> q49OracleSql,
     "kg_ntriples" -> kgNTriplesOracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
@@ -2326,6 +2403,81 @@ object SparkEntry {
        ORDER BY lang"""
   }
 
+  /** q48: BM25 replayed in SQL — tokenization (zipped parallel unnest for
+    * positions), tf/df/dl/N/Σdl as exact integers, the df-cap, the
+    * first-occurrence query-term cut, the Robertson idf, and the top-k
+    * window with the same (rounded score desc, did asc) tie contract.
+    * Literal doubles (1.2 / 2.2 / 0.75 / 0.25) parse to the same IEEE
+    * values the Scala side embeds. */
+  private def q48OracleSql: String =
+    """WITH lst AS (SELECT doc_id AS did,
+           string_split_regex(trim(text), '\s+') AS l FROM documents),
+       tok AS (SELECT did, unnest(l) AS t,
+           unnest(generate_series(1, len(l))) AS pos FROM lst),
+       tk AS (SELECT did, t, pos FROM tok WHERE t <> ''),
+       tf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS tf,
+              min(pos) AS fpos FROM tk GROUP BY did, t),
+       dl AS (SELECT did, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY did),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+               GROUP BY t HAVING count(*) <=
+                 CAST(ceil(0.9 * (SELECT count(*) FROM documents)) AS BIGINT)),
+       q AS (SELECT tf.did AS qid, tf.t,
+             row_number() OVER (PARTITION BY tf.did
+               ORDER BY tf.fpos, tf.t) AS qrank
+           FROM tf JOIN dfc ON dfc.t = tf.t WHERE tf.did % 50 = 3),
+       qt AS (SELECT qid, t FROM q WHERE qrank <= 8),
+       per AS (SELECT qt.qid, p.did,
+             ln((CAST(st.n AS DOUBLE) - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
+           FROM qt
+           JOIN dfc ON dfc.t = qt.t
+           JOIN (SELECT tf.did, tf.t, tf.tf, dl.dl FROM tf
+                 JOIN dl ON dl.did = tf.did) p ON p.t = qt.t
+           CROSS JOIN st
+           WHERE p.did <> qt.qid),
+       sc AS (SELECT qid, did, round(sum(s), 6) AS bm25
+              FROM per GROUP BY qid, did),
+       rk AS (SELECT qid, did, bm25,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY bm25 DESC, did ASC) AS BIGINT) AS rank
+           FROM sc)
+       SELECT qid, did, bm25, rank FROM rk WHERE rank <= 5
+       ORDER BY qid, rank"""
+
+  /** q47: sorted-neighborhood blocking replayed in SQL — the global rank the
+    * two-pass scan computes distributed is ONE window here (affordable at
+    * oracle scale), the w-neighbor candidates are a rank band join, and the
+    * Jaccard verify reuses the q8-style distinct-shingle arithmetic. */
+  private def q47OracleSql: String = {
+    val w = 3; val tau = 0.5
+    s"""${shingleCte(8)},
+       nk AS (SELECT doc_id AS id,
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS skey
+         FROM documents),
+       rk AS (SELECT id, row_number() OVER (ORDER BY skey, id) AS rnk
+              FROM nk),
+       cand AS (SELECT x.id AS a, y.id AS b FROM rk x JOIN rk y
+         ON y.rnk BETWEEN x.rnk + 1 AND x.rnk + $w),
+       inter AS (SELECT c.a, c.b, count(*) AS shared
+         FROM cand c
+         JOIN sh sa ON sa.sid = c.a
+         JOIN sh sb ON sb.sid = c.b AND sb.shingle = sa.shingle
+         GROUP BY c.a, c.b),
+       sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid)
+       SELECT i.a, i.b,
+         round(CAST(i.shared AS DOUBLE) / (za.nsh + zb.nsh - i.shared), 4)
+           AS jaccard
+       FROM inter i
+       JOIN sizes za ON za.sid = i.a
+       JOIN sizes zb ON zb.sid = i.b
+       WHERE round(CAST(i.shared AS DOUBLE) / (za.nsh + zb.nsh - i.shared), 4)
+         >= $tau
+       ORDER BY i.a, i.b"""
+  }
+
   /** q30: decontamination recomputed in SQL — distinct eval-set shingles,
     * inner-join the corpus shingle rows, count per doc. */
   private def q30OracleSql: String =
@@ -2480,6 +2632,28 @@ object SparkEntry {
          ELSE round(2.0 * coalesce(cnt.triangles, 0)
            / (deg.degree * (deg.degree - 1)), 9) END AS clustering
      FROM deg LEFT JOIN cnt USING (id) ORDER BY doc_id"""
+
+  /** q49: Adamic–Adar link prediction replayed in SQL over the re-derived
+    * co-mention edges — symmetrized neighbor lists, wedge self-join keyed
+    * by the shared vertex, exact BIGINT degrees, the existing-edge
+    * anti-join, and the 1/ln sum under the round(…,6) contract. */
+  private def q49OracleSql: String =
+    s"""WITH $comentionEdgeCtes,
+       sym AS (SELECT src AS c, dst AS n FROM e
+               UNION ALL SELECT dst AS c, src AS n FROM e),
+       deg AS (SELECT c, CAST(count(*) AS BIGINT) AS cdeg
+               FROM sym GROUP BY c),
+       wedge AS (SELECT x.n AS a, y.n AS b, d.cdeg
+           FROM sym x JOIN sym y ON x.c = y.c AND x.n < y.n
+           JOIN deg d ON d.c = x.c),
+       sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+              round(sum(CAST(1 AS DOUBLE) / ln(CAST(cdeg AS DOUBLE))), 6)
+                AS aa
+            FROM wedge GROUP BY a, b)
+       SELECT sc.a, sc.b, sc.n_common, sc.aa
+       FROM sc LEFT JOIN e ON e.src = sc.a AND e.dst = sc.b
+       WHERE e.src IS NULL AND sc.n_common >= 1
+       ORDER BY sc.a, sc.b"""
 
   /** q42: the full PQ pipeline recomputed from the materialized codebook —
     * per-subspace argmin encode (round-9 squared L2, ties to the lowest

@@ -332,4 +332,54 @@ object GraphOps {
       ()
     }
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) — the KG-COMPLETION
+    * step a construction pipeline runs over its own materialized graph:
+    * score each NON-adjacent pair by Σ_{c ∈ N(a)∩N(b)} 1/ln(deg(c)) —
+    * shared rare neighbors are strong evidence for a missing edge, shared
+    * hubs are weak evidence — and emit candidates with ≥ `minCommon`
+    * common neighbors. Input is an undirected edge list (src, dst),
+    * DISTINCT with src < dst (the [[KgPipeline.coMentionEdges]]
+    * convention); duplicate or bidirectional rows would inflate degrees.
+    *
+    * Shape: one neighbor-list self-join keyed by the SHARED vertex c (each
+    * c contributes its neighbor pairs — the wedge enumeration), one
+    * (a, b) hash agg, one anti-join against the existing edges. Wedge cost
+    * is Σ_c deg(c)², which a power-law hub dominates: `maxHubDeg` drops
+    * hubs from wedge GENERATION entirely (the df-cap pattern — conservative
+    * by construction, and cheap to accept since a hub's 1/ln(deg) evidence
+    * is near-zero anyway); the cap must be mirrored by any oracle. Degrees
+    * are exact BIGINTs; the 1/ln terms and their sum sit under the
+    * round(…,6) contract. Loan pattern: the result is materialized inside
+    * `use` and the shared checkpoints are released on return. */
+  def adamicAdar[T](edges: DataFrame, minCommon: Int = 2,
+      maxHubDeg: Long = Long.MaxValue)(use: DataFrame => T): T = {
+    val release = org.apache.spark.sql.graft.CheckpointBlocks.release _
+    var e: DataFrame = null
+    var nbr: DataFrame = null
+    try {
+      e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+      val sym = e.select(col("src").as("c"), col("dst").as("n"))
+        .union(e.select(col("dst").as("c"), col("src").as("n")))
+      val deg = sym.groupBy("c").agg(count(lit(1)).as("cdeg"))
+      nbr = sym.join(deg.where(col("cdeg") <= maxHubDeg), "c")
+        .localCheckpoint(true)
+      val pairs = nbr.select(col("c"), col("n").as("a"), col("cdeg"))
+        .join(nbr.select(col("c"), col("n").as("b")), "c")
+        .where(col("a") < col("b"))
+      val scored = pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"),
+          round(sum(lit(1.0) / log(col("cdeg").cast("double"))), 6).as("aa"))
+      // Existing edges (src < dst convention) are not predictions.
+      val out = scored
+        .join(e.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+        .where(col("n_common") >= minCommon)
+      use(out)
+    } finally {
+      if (e != null) release(e)
+      if (nbr != null) release(nbr)
+      ()
+    }
+  }
 }

@@ -170,6 +170,47 @@ object KgPipeline {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** PMI-weighted co-mention edges — the statistical edge weighting a KG
+    * construction pipeline applies on top of raw co-occurrence counts
+    * (Church & Hanks 1990): raw weights favor globally frequent entities,
+    * PMI = ln(P(a,b) / (P(a)·P(b))) scores how much MORE two entities
+    * co-occur than their popularity predicts, in conversation units.
+    * Emits (src, dst, w_pair, w_src, w_dst, n_convs, pmi): every operand is
+    * an exact conversation count (the probabilities cancel to
+    * ln(w_pair·N / (w_src·w_dst)), products of counts < 2^53 formed as
+    * exact doubles), so the DuckDB oracle replays the whole thing with the
+    * single ln under the round(…,6) contract. Scale shape: the same
+    * conv-keyed bounded self-join as [[coMentionEdges]] plus one per-entity
+    * hash agg and a broadcast 1-row scalar — nothing new shuffles. */
+  def pmiEdges(spark: SparkSession, mentions: Dataset[MentionDoc],
+      hits: Dataset[LinkHit], topRank: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val links = hits.filter(_.rank <= topRank).toDF()
+      .join(mentions.map(m => (m.queryId, m.convId)).toDF("queryId", "convId"),
+        "queryId")
+      .select("convId", "docId").distinct()
+      .persist()
+    try {
+      val tot = links.agg(count_distinct(col("convId")).as("n_convs"))
+      val ent = links.groupBy(col("docId")).agg(count(lit(1)).as("w_ent"))
+      val pairs = links.as("l").join(links.as("r"),
+          col("l.convId") === col("r.convId") && col("l.docId") < col("r.docId"))
+        .groupBy(col("l.docId").as("src"), col("r.docId").as("dst"))
+        .agg(count(lit(1)).as("w_pair"))
+      val out = pairs
+        .join(ent.toDF("src", "w_src"), "src")
+        .join(ent.toDF("dst", "w_dst"), "dst")
+        .crossJoin(broadcast(tot))
+        .select(col("src"), col("dst"), col("w_pair"), col("w_src"),
+          col("w_dst"), col("n_convs"),
+          round(log(col("w_pair").cast("double") * col("n_convs") /
+            (col("w_src").cast("double") * col("w_dst"))), 6).as("pmi"))
+      // Materialize before releasing the shared links table.
+      out.localCheckpoint(true)
+    } finally { links.unpersist(); () }
+  }
+
   /** Transcript-structure metadata triples — the agent-action facet of the
     * KG the north rule's "multi-turn conversation / agent transcripts"
     * input carries beyond entity mentions: every turn asserts its role

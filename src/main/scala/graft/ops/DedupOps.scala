@@ -80,6 +80,78 @@ object DedupOps {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** SORTED-NEIGHBORHOOD dedup blocking (Hernández & Stolfo, SIGMOD 1995) —
+    * the sort-based counterpart to the hash-based candidate generators here
+    * (MinHash-LSH bands, SimHash buckets, embedding LSH): order the corpus
+    * by a normalized sort key and compare each document only to its `w`
+    * neighbors in that order. Shared-prefix near-dups (templated documents,
+    * boilerplate-headed pages, whitespace/case variants of one text) land
+    * adjacent, and candidate volume is O(N·w) BY CONSTRUCTION — no hot-key
+    * blowup is possible, the property hash blocking needs df-caps and skew
+    * guards to approximate.
+    *
+    * The global order is NOT a single-partition window (the classic 100 TB
+    * killer): it is the distributed two-pass scan of
+    * [[graft.ops.TextOps.epochShards]] — repartitionByRange +
+    * sortWithinPartitions impose the total (key, id) order, one tiny job
+    * collects per-partition ROW counts (driver state: one Long per
+    * partition), and a narrow second pass stamps exact global ranks.
+    * Neighbor pairs are an equi-join on the rank block `rank div w` (each
+    * left row probes its own block and the next, so every 0 < Δrank ≤ w
+    * pair matches exactly once), and every candidate is verified by the
+    * exact distinct-shingle Jaccard before emission. Ranks are a pure
+    * function of the input (the total order has no ties — id breaks them),
+    * so the output is partitioning-invariant and the DuckDB oracle
+    * recomputes it from one global window + the same verify join. Returns
+    * (a, b, jaccard) with a the lower-ranked doc and round(jaccard,4) ≥
+    * `tau`. */
+  def sortedNeighborhood(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 3, n: Int = 8,
+      tau: Double = 0.5): DataFrame = {
+    require(w > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      lower(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("skey"))
+    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    val arranged = keyed.repartitionByRange(np, col("skey"), col("id"))
+      .sortWithinPartitions(col("skey"), col("id"))
+      .as[(Long, String)].persist()
+    val ranked = try {
+      val counts = arranged.rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bOff = spark.sparkContext.broadcast(offsets)
+      arranged.rdd.mapPartitionsWithIndex { (i, it) =>
+        var r = bOff.value(i)
+        it.map { case (id, _) => val cur = r; r += 1L; (id, cur) }
+      }.toDF("id", "rnk")
+        // Materialize before unpersisting the two-pass parent.
+        .localCheckpoint(true)
+    } finally { arranged.unpersist(); () }
+    val lhs = ranked.select(col("id").as("a"), col("rnk").as("ra"),
+      explode(array(expr(s"rnk div $w"), expr(s"rnk div $w") + 1)).as("blk"))
+    val rhs = ranked.select(col("id").as("b"), col("rnk").as("rb"),
+      expr(s"rnk div $w").as("blk"))
+    val cand = lhs.join(rhs, "blk")
+      .where(col("rb") > col("ra") && col("rb") - col("ra") <= w)
+      .select("a", "b")
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(sh.select(col("sid").as("a"), col("shingle")), "a")
+      .join(sh.select(col("sid").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("sid").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("sid").as("b"), col("nsh").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
   /** Benchmark decontamination — the training-data hygiene step that keeps
     * eval answers out of the training corpus: flag every corpus document
     * sharing at least one n-gram with the eval/benchmark set, with the hit

@@ -192,6 +192,72 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /** BM25 top-k retrieval (Robertson & Walker, SIGIR 1994) — the other
+    * standard lexical ranking next to the engine's TF-IDF-cosine linking
+    * core: query documents retrieve their `topK` closest corpus documents
+    * through an inverted-index join, scored by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    * Robertson idf ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Scale shape: the postings join is keyed by token (the inverted index);
+    * `maxDf` drops stopword-frequency tokens from BOTH sides before the
+    * join — the same skew guard as [[graft.ops.DedupOps.ngramJaccard]]'s
+    * df-cap, and cheap here because high-df terms carry near-zero idf
+    * anyway. Query terms are capped at `maxQueryTerms` by first occurrence
+    * (a per-query-doc bounded window). All inputs to the score are exact
+    * integers (tf, df, dl, N, Σdl), so both engines form bit-identical
+    * doubles at the leaves; the ln and the per-pair sum sit under the
+    * round(…,6) contract (the q37 mean-ln precedent). Ties in the top-k cut
+    * break by (rounded score desc, doc id asc) — cross-engine-reproducible.
+    * Returns (qid, did, bm25, rank). */
+  def bm25TopK(docs: DataFrame, queryPred: Column, idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+      maxQueryTerms: Int = 8, maxDf: Long = 200, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("did"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
+      .where(col("t") =!= "")
+    val tf = toks.groupBy("did", "t")
+      .agg(count(lit(1)).as("tf"), min("pos").as("fpos"))
+    val dl = toks.groupBy("did").agg(count(lit(1)).as("dl"))
+    // Corpus scalars from one tiny agg: N docs and Σdl (exact longs — both
+    // engines derive the identical avgdl double).
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).first()
+    val nDocs = stats.getLong(0); val totDl = stats.getLong(1)
+    val avgdl = totDl.toDouble / nDocs
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val qids = docs.where(queryPred).select(col(idCol).cast("long").as("qid"))
+    val qterms = tf.join(qids, col("did") === col("qid"))
+      .join(dfT, "t") // capped terms can't contribute — drop before ranking
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("fpos"), col("t"))))
+      .where(col("qrank") <= maxQueryTerms)
+      .select("qid", "t")
+    val idf = log(
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    // Rename the postings side: qterms derives from tf, and a raw re-join
+    // of tf would trip Spark's ambiguous-self-join detection.
+    val postings = tf.select(col("did"), col("t"), col("tf"))
+      .toDF("p_did", "p_t", "p_tf")
+      .join(dl.toDF("p_did2", "p_dl"), col("p_did") === col("p_did2"))
+      .select("p_did", "p_t", "p_tf", "p_dl")
+    val perTerm = qterms
+      .join(dfT, "t")
+      .join(postings, col("p_t") === col("t"))
+      .where(col("p_did") =!= col("qid"))
+      .select(col("qid"), col("p_did").as("did"),
+        (idf * (col("p_tf") * lit(k1 + 1.0)) /
+          (col("p_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("p_dl") / lit(avgdl))))
+          .as("s"))
+    perTerm.groupBy("qid", "did").agg(round(sum(col("s")), 6).as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("bm25").desc, col("did").asc))
+        .cast("bigint"))
+      .where(col("rank") <= topK)
+  }
+
   /** Repetition signals (the Gopher-rules quality family): the duplicate
     * word-bigram fraction — boilerplate and degenerate generations repeat
     * phrases, so `1 - distinct_bigrams/bigrams` separates them from natural

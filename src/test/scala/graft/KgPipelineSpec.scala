@@ -298,6 +298,42 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edges == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), edges)
   }
 
+  test("pmi edges: exact counts and ln weighting over the co-mention graph") {
+    val s = spark
+    import s.implicits._
+    val dummyAddr = graft.model.InterpretedAddress(0L, "", "", 0, 0, 0, 0, 0,
+      0, "", "", "", matched = true)
+    val dummyDoc = graft.model.DocVec(0L, "pk", "", Array.empty,
+      Array.empty, null, null, null, null, 0)
+    def m(qid: Long, conv: String) =
+      graft.kg.MentionDoc(qid, conv, 0, 0, dummyAddr, dummyDoc)
+    // conv A links {1,2}; conv B links {1,2,3}; conv C links {2,3}:
+    // N=3, w1=2, w2=3, w3=2; pairs (1,2)=2, (1,3)=1, (2,3)=2.
+    val mentions = s.createDataset(Seq(
+      m(10L, "A"), m(11L, "A"), m(20L, "B"), m(21L, "B"), m(22L, "B"),
+      m(30L, "C"), m(31L, "C")))
+    val hits = s.createDataset(Seq(
+      LinkHit(10L, 1L, 0.9, 1), LinkHit(11L, 2L, 0.9, 1),
+      LinkHit(20L, 1L, 0.9, 1), LinkHit(21L, 2L, 0.9, 1),
+      LinkHit(22L, 3L, 0.9, 1),
+      LinkHit(30L, 2L, 0.9, 1), LinkHit(31L, 3L, 0.9, 1)))
+    val out = graft.kg.KgPipeline.pmiEdges(s, mentions, hits, topRank = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    def pmi(wp: Long, ws: Long, wd: Long): Double =
+      BigDecimal(math.log(wp.toDouble * 3 / (ws.toDouble * wd)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      (1L, 2L) -> ((2L, 2L, 3L, 3L, pmi(2, 2, 3))),
+      (1L, 3L) -> ((1L, 2L, 2L, 3L, pmi(1, 2, 2))),
+      (2L, 3L) -> ((2L, 3L, 2L, 3L, pmi(2, 3, 2)))), out)
+    // (1,3) co-occurs LESS than popularity predicts — negative PMI.
+    assert(out((1L, 3L))._5 < 0.0)
+    assert(out((1L, 2L))._5 == 0.0)
+  }
+
   test("metadata triples, entity timeline, and tool-entity edges match naive recomputes") {
     val s = spark
     import s.implicits._

@@ -309,6 +309,109 @@ class OpsSpec extends AnyFunSuite {
     assert(total > 3 * hits, s"test premise: clean shingles dominate ($total)")
   }
 
+  test("bm25 top-k: matches a naive replay incl. df-cap and query-term cut") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      (0L, "apple banana cherry date egg"),
+      (1L, "apple banana cherry fig grape grape"),
+      (2L, "unrelated tokens zebra yak xylo"),
+      (3L, "apple banana kiwi lemon mango"))
+    val docs = data.toDF("doc_id", "text")
+    val k1 = 1.2; val b = 0.75
+
+    def naive(maxDf: Long, maxQ: Int, topK: Int): Map[(Long, Long), (Double, Long)] = {
+      val toks = data.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (t, g) => (id, t) -> g.size.toLong } }
+      val fpos = toks.flatMap { case (id, ts) =>
+        ts.zipWithIndex.groupBy(_._1).map { case (t, g) =>
+          (id, t) -> g.map(_._2).min } }
+      val dl = toks.view.mapValues(_.size.toLong).toMap
+      val n = dl.size; val avgdl = dl.values.sum.toDouble / n
+      val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 <= maxDf)
+      val qid = 3L
+      val qterms = toks(qid).distinct.filter(df.contains)
+        .sortBy(t => (fpos((qid, t)), t)).take(maxQ)
+      val scores = (for {
+        did <- dl.keys.toSeq if did != qid // Seq: equal per-term scores must not collapse
+        t <- qterms if tf.contains((did, t))
+      } yield {
+        val idf = math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        (did, idf * (tf((did, t)) * (k1 + 1.0)) /
+          (tf((did, t)) + k1 * ((1.0 - b) + b * dl(did) / avgdl)))
+      }).groupBy(_._1).view.mapValues(v => BigDecimal(v.map(_._2).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      scores.toSeq.sortBy { case (did, sc) => (-sc, did) }.take(topK)
+        .zipWithIndex
+        .map { case ((did, sc), i) => (qid, did) -> ((sc, i.toLong + 1)) }
+        .toMap
+    }
+    def run(maxDf: Long, maxQ: Int, topK: Int) =
+      TextOps.bm25TopK(docs, col("doc_id") === 3, maxDf = maxDf,
+          maxQueryTerms = maxQ, topK = topK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+
+    assert(run(200, 8, 5) == naive(200, 8, 5))
+    // df-cap: apple/banana (df=3) dropped, only rarer terms score.
+    assert(run(2, 8, 5) == naive(2, 8, 5))
+    // query-term cut by first occurrence.
+    assert(run(200, 2, 5) == naive(200, 2, 5))
+    // The lexically-similar docs must outrank the unrelated one.
+    val top = run(200, 8, 5)
+    assert(top((3L, 0L))._1 > 0 && top((3L, 1L))._1 > 0)
+    assert(!top.contains((3L, 2L)))
+  }
+
+  test("sorted neighborhood: window candidates verified by jaccard; partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // Three templated variants share a long prefix (adjacent in normalized
+    // sort order); two unrelated docs sit elsewhere in the order.
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog variant one"),
+      (11L, "The quick brown fox jumps over the lazy dog variant two"),
+      (12L, "the quick brown fox jumps over the lazy dog variant three"),
+      (13L, "zebra yak xylophone walrus vulture unrelated content here"),
+      (14L, "mid alphabet entirely different prose about spark engines"))
+      .toDF("doc_id", "text")
+    val w = 2; val n = 8; val tau = 0.3
+    def run(parts: Int) = DedupOps
+      .sortedNeighborhood(docs.repartition(parts), w = w, n = n, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val out = run(1)
+    assert(run(5) == out, "ranks are a pure function of the input")
+
+    // Naive replay: one global sort, all |Δrank| ≤ w pairs, exact jaccard.
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ranked = rows
+      .map { case (id, t) =>
+        (id, t, t.trim.replaceAll("\\s+", " ").toLowerCase) }
+      .sortBy { case (id, _, k) => (k, id) }.zipWithIndex
+    def shSet(t: String): Set[String] =
+      if (t.length < n) Set.empty else t.sliding(n).toSet
+    val expected = (for {
+      ((a, ta, _), ra) <- ranked; ((b, tb, _), rb) <- ranked
+      if rb > ra && rb - ra <= w
+      sa = shSet(ta); sb = shSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      shared = (sa intersect sb).size
+      j = BigDecimal(shared.toDouble / (sa.size + sb.size - shared))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if shared > 0 && j >= tau
+    } yield (a, b) -> j).toMap
+    assert(out == expected)
+    // The templated variants must have been caught.
+    assert(out.keySet.exists { case (a, b) =>
+      Set(a, b).subsetOf(Set(10L, 11L, 12L)) })
+    // No pair involving the unrelated docs survives the verify.
+    assert(out.keySet.forall { case (a, b) => a < 13L && b < 13L })
+  }
+
   test("repetition signals: dup bigram fraction exact; short docs report 0") {
     val s = spark
     import s.implicits._
@@ -459,6 +562,31 @@ class OpsSpec extends AnyFunSuite {
     // and higher than the doc whose tail bigram is rarer.
     assert(out(0L)._2 == out(4L)._2)
     assert(out(0L)._2 > out(1L)._2)
+  }
+
+  test("adamic-adar: scores non-adjacent pairs by shared-neighbor rarity") {
+    val s = spark
+    import s.implicits._
+    // 1-2, 1-3, 2-3, 2-4, 3-4: the only non-adjacent pair with >=2 common
+    // neighbors is (1,4), via {2,3} (both degree 3).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+    val out = graft.kg.GraphOps.adamicAdar(edges) {
+      _.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    }
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"adamicAdar leaked persisted blocks: $leaked")
+    val exp = BigDecimal(2.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map((1L, 4L) -> ((2L, exp))), out)
+    // Edge (2,3) has 2 common neighbors too but IS an edge — excluded above.
+    // Hub cap: dropping degree-3 vertices removes all wedge evidence.
+    val capped = graft.kg.GraphOps.adamicAdar(edges, maxHubDeg = 2L) {
+      _.count()
+    }
+    assert(capped == 0L)
   }
 
   test("pagerank matches a naive reference; mass conserved; partition-invariant") {
