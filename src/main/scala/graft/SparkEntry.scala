@@ -458,6 +458,15 @@ object SparkEntry {
       KgPipeline.metadataTriples(s, turns).toDF()
         .orderBy("subj", "pred", "obj")
     }),
+    "kg_keyphrases" -> ((s, dir) => {
+      // Per-conversation TF-IDF keyphrases (char bigrams — the CJK IR
+      // unit): the document-tagging facet of the KG. Exact BIGINT leaves,
+      // one ln product, no accumulation — fully oracled from the turns
+      // stage table.
+      val (_, turns) = kgInputs(s, dir)
+      KgPipeline.conversationKeyphrases(s, turns)
+        .orderBy("conv_id", "rank")
+    }),
     "kg_timeline" -> ((s, dir) => {
       // Temporal facets per linked entity: first/last mention epoch-millis,
       // mention count, distinct conversations — exact integers end-to-end,
@@ -1677,6 +1686,29 @@ object SparkEntry {
          SELECT subj, 'inConversation' AS pred, conv AS obj,
            CAST(0.0 AS DOUBLE) AS score, '' AS partKey FROM t
          ORDER BY subj, pred, obj""",
+    "kg_keyphrases" ->
+      s"""WITH tx AS (SELECT split_part(subj, '#', 1) AS conv_id, text
+              FROM ${sp("turns")}),
+         gi AS (SELECT conv_id, text,
+               unnest(generate_series(1, length(text) - 1)) AS i
+             FROM tx WHERE length(text) >= 2),
+         g AS (SELECT conv_id, substr(text, CAST(i AS INT), 2) AS gram
+               FROM gi),
+         tf AS (SELECT conv_id, gram, CAST(count(*) AS BIGINT) AS tf
+                FROM g GROUP BY conv_id, gram),
+         dfg AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY gram),
+         st AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+                FROM tx),
+         j AS (SELECT tf.conv_id, tf.gram, tf.tf, dfg.df,
+               round(tf.tf * ln(CAST(st.n_convs AS DOUBLE) / dfg.df), 6)
+                 AS tfidf
+             FROM tf JOIN dfg USING (gram) CROSS JOIN st
+             WHERE dfg.df <= st.n_convs * CAST(0.5 AS DOUBLE)),
+         rk AS (SELECT j.*, CAST(row_number() OVER (PARTITION BY conv_id
+               ORDER BY tfidf DESC, gram ASC) AS BIGINT) AS rank FROM j)
+         SELECT conv_id, gram, tf, df, tfidf, rank FROM rk
+         WHERE rank <= 3 ORDER BY conv_id, rank""",
     "kg_timeline" ->
       s"""SELECT h.docId AS doc_id,
            min(t.ts_ms) AS first_ms, max(t.ts_ms) AS last_ms,
@@ -2455,7 +2487,8 @@ object SparkEntry {
     val w = 3; val tau = 0.5
     s"""${shingleCte(8)},
        nk AS (SELECT doc_id AS id,
-           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS skey
+           substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 64)
+             AS skey
          FROM documents),
        rk AS (SELECT id, row_number() OVER (ORDER BY skey, id) AS rnk
               FROM nk),

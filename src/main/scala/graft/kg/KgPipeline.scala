@@ -170,6 +170,45 @@ object KgPipeline {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** TF-IDF keyphrase extraction per conversation — the document-TAGGING
+    * step of KG construction: attach each conversation node's most salient
+    * terms (what is this conversation about, beyond the entities it links).
+    * Terms are character bigrams — the standard CJK IR unit (most Chinese
+    * words are two characters; whitespace tokenization does not exist for
+    * this text), the same `DedupOps.shingles` machinery as the dedup
+    * family. tfidf = tf · ln(N/df) in CONVERSATION units; grams in more
+    * than `maxDfFrac` of conversations are dropped (the stopword cut AND
+    * the hot-key guard in one).
+    *
+    * Scale shape: one narrow explode → one (conv, gram) map-side-combinable
+    * hash agg → one gram-keyed df agg + join → a per-conversation top-k
+    * window (bounded by the conversation's own vocabulary). Every operand
+    * of the score is an exact BIGINT and the single product has no
+    * accumulation order at all, so DuckDB replays it exactly under the
+    * round(…,6) ln contract. Returns (conv_id, gram, tf, df, tfidf, rank),
+    * rank ≤ `topK` by (tfidf desc, gram asc). */
+  def conversationKeyphrases(spark: SparkSession, turns: Dataset[Turn],
+      n: Int = 2, topK: Int = 3, maxDfFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val t = turns.toDF().select(col("conv_id"), col("text"))
+    val grams = t.select(col("conv_id"),
+      explode(graft.ops.DedupOps.shingles(col("text"), n)).as("gram"))
+    val tf = grams.groupBy("conv_id", "gram").agg(count(lit(1)).as("tf"))
+    val dfG = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+    val stats = t.agg(count_distinct(col("conv_id")).as("n_convs"))
+    val scored = tf.join(dfG, "gram")
+      .crossJoin(broadcast(stats))
+      .where(col("df") <= col("n_convs") * lit(maxDfFrac))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_convs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("conv_id")
+        .orderBy(col("tfidf").desc, col("gram").asc)).cast("bigint"))
+      .where(col("rank") <= topK)
+      .select("conv_id", "gram", "tf", "df", "tfidf", "rank")
+  }
+
   /** PMI-weighted co-mention edges — the statistical edge weighting a KG
     * construction pipeline applies on top of raw co-occurrence counts
     * (Church & Hanks 1990): raw weights favor globally frequent entities,

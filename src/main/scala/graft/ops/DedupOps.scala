@@ -91,45 +91,31 @@ object DedupOps {
     * guards to approximate.
     *
     * The global order is NOT a single-partition window (the classic 100 TB
-    * killer): it is the distributed two-pass scan of
-    * [[graft.ops.TextOps.epochShards]] — repartitionByRange +
-    * sortWithinPartitions impose the total (key, id) order, one tiny job
-    * collects per-partition ROW counts (driver state: one Long per
-    * partition), and a narrow second pass stamps exact global ranks.
-    * Neighbor pairs are an equi-join on the rank block `rank div w` (each
-    * left row probes its own block and the next, so every 0 < Δrank ≤ w
-    * pair matches exactly once), and every candidate is verified by the
-    * exact distinct-shingle Jaccard before emission. Ranks are a pure
-    * function of the input (the total order has no ties — id breaks them),
-    * so the output is partitioning-invariant and the DuckDB oracle
-    * recomputes it from one global window + the same verify join. Returns
-    * (a, b, jaccard) with a the lower-ranked doc and round(jaccard,4) ≥
-    * `tau`. */
+    * killer): it is [[OrderedScan.exclusivePrefixSum]] with weight 1 — the
+    * same two-pass scan as `epochShards` — over the total (key, id) order.
+    * The sort key is a BOUNDED prefix (`keyPrefixLen` chars) of the
+    * normalized text: the method's own premise is that near-dups share a
+    * long prefix, so ordering by the whole document would ship and compare
+    * full bodies as range-partition keys for no extra adjacency (ties
+    * beyond the prefix fall back to id order). Neighbor pairs are an
+    * equi-join on the rank block `rank div w` (each left row probes its own
+    * block and the next, so every 0 < Δrank ≤ w pair matches exactly once),
+    * and every candidate is verified by the exact distinct-shingle Jaccard
+    * before emission. Ranks are a pure function of the input (the total
+    * order has no ties — id breaks them), so the output is
+    * partitioning-invariant and the DuckDB oracle recomputes it from one
+    * global window + the same verify join. Returns (a, b, jaccard) with a
+    * the lower-ranked doc and round(jaccard,4) ≥ `tau`. */
   def sortedNeighborhood(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 3, n: Int = 8,
-      tau: Double = 0.5): DataFrame = {
-    require(w > 0)
-    val spark = docs.sparkSession
-    import spark.implicits._
+      tau: Double = 0.5, keyPrefixLen: Int = 64): DataFrame = {
+    require(w > 0 && keyPrefixLen > 0)
     val keyed = docs.select(col(idCol).cast("long").as("id"),
-      lower(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("skey"))
-    val np = math.max(1, spark.sparkContext.defaultParallelism)
-    val arranged = keyed.repartitionByRange(np, col("skey"), col("id"))
-      .sortWithinPartitions(col("skey"), col("id"))
-      .as[(Long, String)].persist()
-    val ranked = try {
-      val counts = arranged.rdd.mapPartitionsWithIndex { (i, it) =>
-        var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val bOff = spark.sparkContext.broadcast(offsets)
-      arranged.rdd.mapPartitionsWithIndex { (i, it) =>
-        var r = bOff.value(i)
-        it.map { case (id, _) => val cur = r; r += 1L; (id, cur) }
-      }.toDF("id", "rnk")
-        // Materialize before unpersisting the two-pass parent.
-        .localCheckpoint(true)
-    } finally { arranged.unpersist(); () }
+      substring(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")),
+        1, keyPrefixLen).as("skey"))
+    val ranked = OrderedScan.exclusivePrefixSum(keyed,
+        Seq(col("skey"), col("id")), lit(1L), "rnk")
+      .select("id", "rnk")
     val lhs = ranked.select(col("id").as("a"), col("rnk").as("ra"),
       explode(array(expr(s"rnk div $w"), expr(s"rnk div $w") + 1)).as("blk"))
     val rhs = ranked.select(col("id").as("b"), col("rnk").as("rb"),
@@ -202,7 +188,12 @@ object DedupOps {
     * each → distinct) and collected bounded by `mBits` rows (the IVF
     * centroid-table pattern); the probe is a typed narrow mapPartitions
     * against the broadcast word array — the one place a Column expression
-    * genuinely cannot index a 2^20-bit side structure. */
+    * genuinely cannot index a 2^20-bit side structure. Unlike
+    * [[decontaminate]], the verify join carries NO broadcast hint: this
+    * variant exists for the regime where the eval shingle strings are too
+    * big to broadcast, so the exact join is shingle-keyed shuffle on both
+    * sides — affordable precisely because the corpus side arrives
+    * Bloom-shrunk to true hits + the false-positive residue. */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 16, mBits: Int = 1 << 20, kHash: Int = 4): DataFrame = {
@@ -213,32 +204,38 @@ object DedupOps {
       (pmod(col("h") * lit(a) + lit(b), lit(HashP)) % lit(mBits.toLong))
         .cast("long")
     }
-    val setPositions = shingleRows(evalSet, idCol, textCol, n)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(HashP)))
-      .select(explode(array(posCols: _*)).as("pos"))
-      .distinct()
-      .as[Long].collect() // ≤ mBits rows by construction — driver-bounded
-    val words = new Array[Long]((mBits + 63) >> 6)
-    setPositions.foreach { p => words(p.toInt >> 6) |= 1L << (p.toInt & 63) }
-    val bcWords = spark.sparkContext.broadcast(words)
-    val survivors = shingleRows(corpus, idCol, textCol, n)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(HashP)))
-      .select(col("sid"), col("shingle"), col("h"))
-      .as[(Long, String, Long)]
-      .mapPartitions { it =>
-        val w = bcWords.value
-        it.filter { case (_, _, h) =>
-          params.forall { case (a, b) =>
-            val p = ((h * a + b) % HashP % mBits).toInt
-            (w(p >> 6) & (1L << (p & 63))) != 0L
+    // ONE eval shingle scan serves both the filter build and the verify
+    // join (the eval side is the one assumed large here).
+    val evalShingles = shingleRows(evalSet, idCol, textCol, n)
+      .select("shingle").distinct().persist()
+    try {
+      val setPositions = evalShingles
+        .withColumn("h", pmod(xxhash64(col("shingle")), lit(HashP)))
+        .select(explode(array(posCols: _*)).as("pos"))
+        .distinct()
+        .as[Long].collect() // ≤ mBits rows by construction — driver-bounded
+      val words = new Array[Long]((mBits + 63) >> 6)
+      setPositions.foreach { p => words(p.toInt >> 6) |= 1L << (p.toInt & 63) }
+      val bcWords = spark.sparkContext.broadcast(words)
+      val survivors = shingleRows(corpus, idCol, textCol, n)
+        .withColumn("h", pmod(xxhash64(col("shingle")), lit(HashP)))
+        .select(col("sid"), col("shingle"), col("h"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          val w = bcWords.value
+          it.filter { case (_, _, h) =>
+            params.forall { case (a, b) =>
+              val p = ((h * a + b) % HashP % mBits).toInt
+              (w(p >> 6) & (1L << (p & 63))) != 0L
+            }
           }
-        }
-      }.toDF("sid", "shingle", "h")
-    val evalShingles =
-      shingleRows(evalSet, idCol, textCol, n).select("shingle").distinct()
-    survivors.join(broadcast(evalShingles), Seq("shingle"))
-      .groupBy(col("sid")).agg(count(lit(1)).as("n_hits"))
-      .select(col("sid").as(idCol), col("n_hits"))
+        }.toDF("sid", "shingle", "h")
+      survivors.join(evalShingles, Seq("shingle"))
+        .groupBy(col("sid")).agg(count(lit(1)).as("n_hits"))
+        .select(col("sid").as(idCol), col("n_hits"))
+        // Materialize before releasing the shared eval-shingle table.
+        .localCheckpoint(true)
+    } finally { evalShingles.unpersist(); () }
   }
 
   /** FUZZY benchmark decontamination: flag corpus documents whose

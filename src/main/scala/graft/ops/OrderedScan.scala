@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The distributed two-pass exclusive prefix sum over a total order — the
+  * shared scaffolding under [[TextOps.epochShards]] (token offsets) and
+  * [[DedupOps.sortedNeighborhood]] (global ranks, weight 1). A global
+  * running sum is NOT a single-partition window (the classic 100 TB
+  * killer): repartitionByRange + sortWithinPartitions impose the total
+  * order, one tiny job collects per-partition weight totals (driver state:
+  * one Long per partition), and a narrow second pass stamps each row with
+  * the exact running sum BEFORE it. The result is a pure function of the
+  * input whenever `order` is tie-free (callers append a unique id), so the
+  * stamped values are partitioning-invariant.
+  */
+object OrderedScan {
+
+  /** Returns `df`'s columns plus `outCol` = the exclusive running sum of
+    * `weight` over the total order `order`. The result is eagerly
+    * materialized (localCheckpoint) before the internal two-pass parent is
+    * unpersisted. */
+  def exclusivePrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    val arranged = df.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(np, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist()
+    try {
+      val wIdx = arranged.schema.fieldIndex("__w")
+      val totals = arranged.rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _.getLong(wIdx)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = totals.scanLeft(0L)(_ + _)
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val stamped = arranged.rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = bOff.value(i)
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ cum); cum += r.getLong(wIdx); out
+        }
+      }
+      spark.createDataFrame(stamped, arranged.schema.add(outCol, "long"))
+        .drop("__w")
+        // Materialize before unpersisting the two-pass parent.
+        .localCheckpoint(true)
+    } finally { arranged.unpersist(); () }
+  }
+}

@@ -220,11 +220,11 @@ object TextOps {
     val tf = toks.groupBy("did", "t")
       .agg(count(lit(1)).as("tf"), min("pos").as("fpos"))
     val dl = toks.groupBy("did").agg(count(lit(1)).as("dl"))
-    // Corpus scalars from one tiny agg: N docs and Σdl (exact longs — both
-    // engines derive the identical avgdl double).
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).first()
-    val nDocs = stats.getLong(0); val totDl = stats.getLong(1)
-    val avgdl = totDl.toDouble / nDocs
+    // Corpus scalars (N docs, Σdl) ride IN-PLAN as a broadcast 1-row cross
+    // join — no eager driver job, no second tokenization pass, and an empty
+    // corpus degrades to an empty result instead of a driver error. Both
+    // engines derive the identical avgdl double from the same exact longs.
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val qids = docs.where(queryPred).select(col(idCol).cast("long").as("qid"))
@@ -235,8 +235,9 @@ object TextOps {
       .where(col("qrank") <= maxQueryTerms)
       .select("qid", "t")
     val idf = log(
-      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-        + lit(1.0))
+      (col("n_docs").cast("double") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
     // Rename the postings side: qterms derives from tf, and a raw re-join
     // of tf would trip Spark's ambiguous-self-join detection.
     val postings = tf.select(col("did"), col("t"), col("tf"))
@@ -247,9 +248,10 @@ object TextOps {
       .join(dfT, "t")
       .join(postings, col("p_t") === col("t"))
       .where(col("p_did") =!= col("qid"))
+      .crossJoin(broadcast(stats))
       .select(col("qid"), col("p_did").as("did"),
         (idf * (col("p_tf") * lit(k1 + 1.0)) /
-          (col("p_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("p_dl") / lit(avgdl))))
+          (col("p_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("p_dl") / avgdl)))
           .as("s"))
     perTerm.groupBy("qid", "did").agg(round(sum(col("s")), 6).as("bm25"))
       .withColumn("rank", row_number().over(
@@ -391,8 +393,6 @@ object TextOps {
   def epochShards(docs: DataFrame, seed: Long, shardTokens: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(shardTokens > 0)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val p = DedupOps.HashP
     val skey = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(SampleA)
       + lit(SampleB + seed), lit(p))
@@ -400,38 +400,16 @@ object TextOps {
       .divide(4).cast("bigint")
     val keyed = docs.select(col(idCol).cast("long").as("id"),
       skey.as("shuffle_key"), ntok.as("n_tokens_est"))
-    val np = math.max(1, spark.sparkContext.defaultParallelism)
-    val arranged = keyed
-      .repartitionByRange(np, col("shuffle_key"), col("id"))
-      .sortWithinPartitions(col("shuffle_key"), col("id"))
-      .as[(Long, Long, Long)]
-      .persist()
-    try {
-      val partTotals = arranged.rdd
-        .mapPartitionsWithIndex { (i, it) =>
-          var s = 0L; it.foreach(s += _._3); Iterator((i, s))
-        }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = partTotals.scanLeft(0L)(_ + _)
-      val bOff = spark.sparkContext.broadcast(offsets)
-      val stamped = arranged.rdd
-        .mapPartitionsWithIndex { (i, it) =>
-          var cum = bOff.value(i)
-          it.map { case (id, sk, nt) =>
-            val start = cum; cum += nt; (id, sk, nt, start)
-          }
-        }
-        .toDF("id", "shuffle_key", "n_tokens_est", "token_offset")
-        .withColumn("shard_id", expr(s"token_offset div ${shardTokens}L"))
-      import org.apache.spark.sql.expressions.Window
-      stamped
-        .withColumn("shard_pos", row_number().over(Window
-          .partitionBy("shard_id").orderBy("shuffle_key", "id"))
-          .cast("bigint"))
-        .withColumnRenamed("id", idCol)
-        // Materialize before unpersisting the two-pass parent.
-        .localCheckpoint(true)
-    } finally { arranged.unpersist(); () }
+    val stamped = OrderedScan.exclusivePrefixSum(keyed,
+        Seq(col("shuffle_key"), col("id")), col("n_tokens_est"),
+        "token_offset")
+      .withColumn("shard_id", expr(s"token_offset div ${shardTokens}L"))
+    import org.apache.spark.sql.expressions.Window
+    stamped
+      .withColumn("shard_pos", row_number().over(Window
+        .partitionBy("shard_id").orderBy("shuffle_key", "id"))
+        .cast("bigint"))
+      .withColumnRenamed("id", idCol)
   }
 
   /** Deterministic stratified downsampling — the rebalancing step of a

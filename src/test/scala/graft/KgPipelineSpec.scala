@@ -298,6 +298,42 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edges == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), edges)
   }
 
+  test("conversation keyphrases: tf-idf char bigrams match a naive recompute") {
+    val s = spark
+    import s.implicits._
+    def tn(conv: String, i: Int, text: String) =
+      graft.model.Turn(conv, i, "user", text, "", new java.sql.Timestamp(0L))
+    val data = Seq(("A", 0, "红色气球"), ("A", 1, "气球很大"),
+      ("B", 0, "蓝色气球"), ("B", 1, "天空蓝色"), ("C", 0, "完全无关"))
+    val turns = s.createDataset(data.map { case (c, i, t) => tn(c, i, t) })
+    val out = graft.kg.KgPipeline
+      .conversationKeyphrases(s, turns, n = 2, topK = 3, maxDfFrac = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+
+    val grams = data.flatMap { case (c, _, t) =>
+      t.sliding(2).filter(_.length == 2).map(g => (c, g)) }
+    val tf = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.toSeq.distinct.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val n = data.map(_._1).distinct.size.toLong
+    val expected = tf
+      .filter { case ((_, g), _) => df(g) <= n * 0.5 }
+      .map { case ((c, g), f) =>
+        (c, g) -> ((f, df(g), BigDecimal(f * math.log(n.toDouble / df(g)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+      .groupBy(_._1._1).flatMap { case (_, m) =>
+        m.toSeq.sortBy { case ((_, g), (_, _, sc)) => (-sc, g) }.take(3)
+          .zipWithIndex.map { case (((c, g), (f, d, sc)), i) =>
+            (c, g) -> ((f, d, sc, i + 1L)) } }
+      .toMap
+    assert(out == expected)
+    // 气球 spans 2 of 3 conversations → over the 50% df cap → never a
+    // keyphrase despite its high tf (the stopword cut at work).
+    assert(!out.keySet.exists(_._2 == "气球"))
+    assert(out.keySet.exists { case (c, g) => c == "A" })
+  }
+
   test("pmi edges: exact counts and ln weighting over the co-mention graph") {
     val s = spark
     import s.implicits._

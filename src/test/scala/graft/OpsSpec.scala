@@ -377,7 +377,11 @@ class OpsSpec extends AnyFunSuite {
       (11L, "The quick brown fox jumps over the lazy dog variant two"),
       (12L, "the quick brown fox jumps over the lazy dog variant three"),
       (13L, "zebra yak xylophone walrus vulture unrelated content here"),
-      (14L, "mid alphabet entirely different prose about spark engines"))
+      (14L, "mid alphabet entirely different prose about spark engines"),
+      // Longer than the 64-char key: identical prefix, divergent tails —
+      // the bounded key must still land them adjacent (id breaks the tie).
+      (15L, "qqq shared very long boilerplate header repeated across documents with tail alpha"),
+      (16L, "qqq shared very long boilerplate header repeated across documents with tail omega"))
       .toDF("doc_id", "text")
     val w = 2; val n = 8; val tau = 0.3
     def run(parts: Int) = DedupOps
@@ -390,7 +394,7 @@ class OpsSpec extends AnyFunSuite {
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
     val ranked = rows
       .map { case (id, t) =>
-        (id, t, t.trim.replaceAll("\\s+", " ").toLowerCase) }
+        (id, t, t.trim.replaceAll("\\s+", " ").toLowerCase.take(64)) }
       .sortBy { case (id, _, k) => (k, id) }.zipWithIndex
     def shSet(t: String): Set[String] =
       if (t.length < n) Set.empty else t.sliding(n).toSet
@@ -408,8 +412,10 @@ class OpsSpec extends AnyFunSuite {
     // The templated variants must have been caught.
     assert(out.keySet.exists { case (a, b) =>
       Set(a, b).subsetOf(Set(10L, 11L, 12L)) })
+    // The >64-char pair ties on the bounded key and still pairs up.
+    assert(out.contains((15L, 16L)), out)
     // No pair involving the unrelated docs survives the verify.
-    assert(out.keySet.forall { case (a, b) => a < 13L && b < 13L })
+    assert(out.keySet.forall { case (a, b) => a != 13L && b != 13L && a != 14L && b != 14L })
   }
 
   test("repetition signals: dup bigram fraction exact; short docs report 0") {
