@@ -444,6 +444,15 @@ object SparkEntry {
       scoped(s, dir, 5, "kg_pmi")(r =>
         KgPipeline.pmiEdges(s, r.mentions, r.hits, topRank = 1)
           .orderBy("src", "dst"))),
+    "kg_negatives" -> ((s, dir) =>
+      // Deterministic filtered negative sampling (the TransE-family
+      // corruption step): the bridge from the materialized KG to a
+      // KG-embedding trainer. Pure hash picks from the dense-indexed
+      // entity pool, anti-joined against true links — exact BIGINTs,
+      // fully oracled.
+      scoped(s, dir, 5, "kg_negatives")(r =>
+        KgPipeline.negativeSamples(s, r.hits, k = 4)
+          .orderBy("query_id", "pos_doc_id", "slot", "neg_doc_id"))),
     "kg_ntriples" -> ((s, dir) =>
       // N-Triples interchange export of the materialized KG — the KG-side
       // analog of the .vt dump (q24); byte-for-byte oracled: DuckDB rebuilds
@@ -1828,6 +1837,7 @@ object SparkEntry {
     "q47_sorted_neighborhood" -> q47OracleSql,
     "q48_bm25_topk" -> q48OracleSql,
     "q49_adamic_adar" -> q49OracleSql,
+    "kg_negatives" -> kgNegativesOracleSql,
     "kg_ntriples" -> kgNTriplesOracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
@@ -2665,6 +2675,44 @@ object SparkEntry {
          ELSE round(2.0 * coalesce(cnt.triangles, 0)
            / (deg.degree * (deg.degree - 1)), 9) END AS clustering
      FROM deg LEFT JOIN cnt USING (id) ORDER BY doc_id"""
+
+  /** kg_negatives: the deterministic corruption replayed in SQL — dense
+    * pool index via one window (affordable at oracle scale), the same
+    * per-edge seed and (a_i, b_i) universal-hash picks as portable BIGINT
+    * arithmetic (pmod spelled out — DuckDB % is sign-preserving), and the
+    * filtered-setting NOT EXISTS. */
+  private def kgNegativesOracleSql: String = {
+    val p = DedupOps.HashP
+    val slotRows = DedupOps.minHashParams(4).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"SELECT CAST($i AS BIGINT) AS slot, CAST($a AS BIGINT) AS pa," +
+          s" CAST($b AS BIGINT) AS pb"
+    }.mkString(" UNION ALL ")
+    s"""WITH pos AS (SELECT DISTINCT h.queryId, h.docId
+           FROM ${sp("hits5")} h WHERE h.rank <= 1),
+       pool AS (SELECT pool_doc,
+             CAST(row_number() OVER (ORDER BY pool_doc) - 1 AS BIGINT)
+               AS pool_idx
+           FROM (SELECT DISTINCT docId AS pool_doc FROM pos)),
+       np AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM pool),
+       sl AS ($slotRows),
+       seeded AS (SELECT queryId, docId,
+             ((((queryId % $p) + $p) % $p) * 31
+               + (((docId % $p) + $p) % $p)) % $p AS seed
+           FROM pos),
+       picks AS (SELECT s.queryId, s.docId, sl.slot,
+             (s.seed * sl.pa + sl.pb) % $p % np.n_pool AS pool_idx
+           FROM seeded s CROSS JOIN sl CROSS JOIN np),
+       cand AS (SELECT picks.queryId, picks.docId, picks.slot,
+                pool.pool_doc
+              FROM picks JOIN pool USING (pool_idx))
+       SELECT c.queryId AS query_id, c.docId AS pos_doc_id, c.slot,
+         c.pool_doc AS neg_doc_id
+       FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM pos p2
+         WHERE p2.queryId = c.queryId AND p2.docId = c.pool_doc)
+       ORDER BY query_id, pos_doc_id, slot, neg_doc_id"""
+  }
 
   /** q49: Adamic–Adar link prediction replayed in SQL over the re-derived
     * co-mention edges — symmetrized neighbor lists, wedge self-join keyed

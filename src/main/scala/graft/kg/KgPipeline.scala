@@ -170,6 +170,61 @@ object KgPipeline {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Deterministic negative sampling for KG-embedding training (the
+    * TransE-family corruption step, Bordes et al. 2013) — the bridge from
+    * the materialized KG to a downstream embedding trainer: each positive
+    * link (queryId → entity) yields up to `k` corrupted entities drawn from
+    * the linked-entity pool, FILTERED against true links (a corruption that
+    * is itself a true edge teaches nothing and is dropped — the standard
+    * "filtered" setting).
+    *
+    * Determinism is the point: the corruption for slot i is
+    * pool[(a_i·seed + b_i) mod p mod |pool|] with seed a hash of the
+    * POSITIVE EDGE (queryId and entity — so two positives of one query
+    * corrupt differently) — a pure function of the row (the q29
+    * hash-threshold idiom), so the sample is byte-identical across
+    * retries, partitionings, and engines. The pool's dense index comes
+    * from [[graft.ops.OrderedScan.exclusivePrefixSum]] with weight 1 over
+    * (docId) order — never a single-partition window — and |pool| rides
+    * in-plan as a broadcast 1-row cross join. One pool join (entity-
+    * pool-sized build side) + one anti-join against the positives; every
+    * operand is an exact BIGINT, so the DuckDB oracle replays pool
+    * indexing, hash picks, and the filter exactly. Returns
+    * (query_id, pos_doc_id, slot, neg_doc_id). */
+  def negativeSamples(spark: SparkSession, hits: Dataset[LinkHit],
+      k: Int = 4, topRank: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = graft.ops.DedupOps.HashP
+    val params = graft.ops.DedupOps.minHashParams(k)
+    val pos = hits.filter(_.rank <= topRank).toDF()
+      .select(col("queryId"), col("docId")).distinct()
+    val pool = graft.ops.OrderedScan.exclusivePrefixSum(
+      pos.select(col("docId").as("pool_doc")).distinct(),
+      Seq(col("pool_doc")), lit(1L), "pool_idx")
+    val nPool = pool.agg(count(lit(1)).as("n_pool"))
+    val seed = pmod(
+      pmod(col("queryId"), lit(p)) * 31L + pmod(col("docId"), lit(p)),
+      lit(p))
+    val slots = params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i.toLong).as("slot"),
+        pmod(col("seed") * lit(a) + lit(b), lit(p)).as("h"))
+    }
+    val picks = pos.crossJoin(broadcast(nPool))
+      .withColumn("seed", seed)
+      .select(col("queryId"), col("docId"),
+        explode(array(slots: _*)).as("s"), col("n_pool"))
+      .select(col("queryId"), col("docId"), col("s.slot").as("slot"),
+        pmod(col("s.h"), col("n_pool")).as("pool_idx"))
+      .join(pool, "pool_idx")
+    // Filtered setting: a corruption that equals the positive's own entity
+    // or ANY true link of the same query is dropped.
+    picks
+      .join(pos.toDF("queryId", "pool_doc"), Seq("queryId", "pool_doc"),
+        "left_anti")
+      .select(col("queryId").as("query_id"), col("docId").as("pos_doc_id"),
+        col("slot"), col("pool_doc").as("neg_doc_id"))
+  }
+
   /** TF-IDF keyphrase extraction per conversation — the document-TAGGING
     * step of KG construction: attach each conversation node's most salient
     * terms (what is this conversation about, beyond the entities it links).

@@ -298,6 +298,43 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edges == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), edges)
   }
 
+  test("negative samples: deterministic, filtered, per-edge varied") {
+    val s = spark
+    import s.implicits._
+    val hits = s.createDataset(Seq(
+      LinkHit(100L, 1L, 0.9, 1), LinkHit(100L, 2L, 0.8, 1),
+      LinkHit(200L, 2L, 0.9, 1), LinkHit(300L, 3L, 0.9, 1),
+      LinkHit(300L, 9L, 0.5, 2))) // rank 2: not a positive, not in pool
+    def run() = graft.kg.KgPipeline.negativeSamples(s, hits, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val out = run()
+    assert(run() == out, "corruption must be a pure function of the edge")
+    // Naive replay: same seed/hash/pool-index arithmetic.
+    val p = graft.ops.DedupOps.HashP
+    val params = graft.ops.DedupOps.minHashParams(4)
+    val pos = Set((100L, 1L), (100L, 2L), (200L, 2L), (300L, 3L))
+    val pool = Seq(1L, 2L, 3L) // sorted distinct linked entities
+    val expected = (for {
+      (q, d) <- pos.toSeq
+      ((a, b), i) <- params.zipWithIndex
+    } yield {
+      val seed = ((q % p) * 31 + (d % p)) % p
+      val idx = ((seed * a + b) % p % pool.size).toInt
+      (q, d, i.toLong, pool(idx))
+    }).filterNot { case (q, _, _, n) => pos.contains((q, n)) }.toSet
+    assert(out == expected)
+    assert(out.nonEmpty)
+    // Filtered setting: no emitted negative is a true link of its query.
+    assert(out.forall { case (q, _, _, n) => !pos.contains((q, n)) })
+    // Per-edge seeds: the two positives of query 100 must not produce the
+    // same corruption sequence.
+    val seq1 = out.toSeq.filter(t => t._1 == 100L && t._2 == 1L).map(t => (t._3, t._4)).sorted
+    val seq2 = out.toSeq.filter(t => t._1 == 100L && t._2 == 2L).map(t => (t._3, t._4)).sorted
+    assert(seq1 != seq2 || seq1.isEmpty || seq2.isEmpty)
+  }
+
   test("conversation keyphrases: tf-idf char bigrams match a naive recompute") {
     val s = spark
     import s.implicits._
