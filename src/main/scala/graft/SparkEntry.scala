@@ -794,6 +794,23 @@ object SparkEntry {
           }
         finally r.unpersistAll()
       }),
+    "q50_kcore" -> ((s, dir) =>
+      // k-core peeling (k=2, 6 fixed rounds) over the co-mention graph —
+      // dense-subgraph extraction with a converged flag; oracle replays
+      // every peel round as chained CTEs over the re-derived edges.
+      {
+        // Not scoped(): loan-pattern — stash INSIDE use so the shared-table
+        // checkpoints free on return (the q35/q40/q41 pattern).
+        val (corpus, turns) = kgInputs(s, dir)
+        val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
+        try
+          graft.kg.GraphOps.kCore(
+              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
+              k = 2, rounds = 6) {
+            out => stash(s, out.orderBy("doc_id"), "q50_kcore")
+          }
+        finally r.unpersistAll()
+      }),
     "q36_dup_spans" -> ((s, dir) => {
       // Exact-substring dedup CUT LIST (Lee et al. 2021): duplicated word-
       // 8-gram windows merged into maximal per-doc intervals via
@@ -1838,6 +1855,7 @@ object SparkEntry {
     "q48_bm25_topk" -> q48OracleSql,
     "q49_adamic_adar" -> q49OracleSql,
     "kg_negatives" -> kgNegativesOracleSql,
+    "q50_kcore" -> q50OracleSql,
     "kg_ntriples" -> kgNTriplesOracleSql,
     "q38_kmeans" -> (kmeansChainSql + """
        SELECT vec_id, cluster, round(cos, 6) AS cos FROM af
@@ -2675,6 +2693,49 @@ object SparkEntry {
          ELSE round(2.0 * coalesce(cnt.triangles, 0)
            / (deg.degree * (deg.degree - 1)), 9) END AS clustering
      FROM deg LEFT JOIN cnt USING (id) ORDER BY doc_id"""
+
+  /** q50: the k-core peel replayed as chained CTEs (the q35/q40 pattern) —
+    * one alive-set + degree CTE pair per round over the re-derived
+    * co-mention edges; the Spark side's early convergence exit is
+    * invisible (peeling is monotone: a converged round and every round
+    * after it remove nothing, so round-R degrees equal the fixpoint's),
+    * and `converged` = round R removed nothing, matching the operator. */
+  private def q50OracleSql: String = {
+    val k = 2; val rounds = 6
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // alive set three times, so DuckDB's default CTE inlining expands the
+    // chain 3^rounds times (hangs); materialization caps it linear.
+    val head =
+      s"""WITH $comentionEdgeCtes,
+       sym AS MATERIALIZED (SELECT src AS id, dst AS nbr FROM e
+               UNION ALL SELECT dst AS id, src AS nbr FROM e),
+       a0 AS MATERIALIZED (SELECT DISTINCT id FROM sym)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"a${r - 1}"
+      s"""d$r AS MATERIALIZED (SELECT a.id,
+             CAST(coalesce(c.cnt, 0) AS BIGINT) AS core_deg
+           FROM $prev a LEFT JOIN (
+             SELECT s.id, count(*) AS cnt FROM sym s
+             JOIN $prev x ON x.id = s.id
+             JOIN $prev y ON y.id = s.nbr
+             GROUP BY s.id) c ON c.id = a.id),
+       r$r AS MATERIALIZED (SELECT id, core_deg FROM d$r
+             WHERE core_deg < $k),
+       a$r AS MATERIALIZED (SELECT id FROM d$r WHERE core_deg >= $k)"""
+    }.mkString(",\n       ")
+    val removedSel = (1 to rounds).map { r =>
+      s"SELECT id, CAST($r AS BIGINT) AS removed_round, core_deg FROM r$r"
+    }.mkString(" UNION ALL ")
+    s"""$head,
+       $roundCtes,
+       cv AS (SELECT NOT EXISTS (SELECT 1 FROM r$rounds) AS converged),
+       fin AS ($removedSel
+         UNION ALL SELECT id, CAST(0 AS BIGINT) AS removed_round, core_deg
+         FROM d$rounds WHERE core_deg >= $k)
+       SELECT fin.id AS doc_id, fin.removed_round, fin.core_deg,
+         fin.removed_round = 0 AS in_core, cv.converged
+       FROM fin CROSS JOIN cv ORDER BY doc_id"""
+  }
 
   /** kg_negatives: the deterministic corruption replayed in SQL — dense
     * pool index via one window (affordable at oracle scale), the same

@@ -333,6 +333,81 @@ object GraphOps {
     }
   }
 
+  /** k-core peeling (Seidman 1983) — dense-subgraph extraction over the
+    * materialized graph: repeatedly remove nodes with fewer than `k` alive
+    * neighbors; what survives is the k-core (every member has ≥ k
+    * neighbors INSIDE the core). The standard noise filter before
+    * community/centrality work on a co-occurrence graph.
+    *
+    * Runs a FIXED `rounds` peeling rounds (the q35/q40 fixed-iteration
+    * contract — deterministic output, oracle-replayable as chained CTEs;
+    * true k-core = the fixpoint, so the output carries `converged` = did
+    * the last round remove nothing, making a non-converged run detectable
+    * rather than silently wrong). Per round: one alive-filtered degree
+    * aggregation (map-side combinable) over the persisted symmetrized
+    * edges — hubs cost rows spread across tasks, never per-key arrays.
+    * Returns one row per input node: (doc_id, removed_round = 1-based peel
+    * round or 0 if in-core, core_deg = alive-degree at exit, in_core,
+    * converged). Loan pattern: shared checkpoints released on return. */
+  def kCore[T](edges: DataFrame, k: Int, rounds: Int = 6)
+      (use: DataFrame => T): T = {
+    require(k >= 1 && rounds >= 1)
+    val release = org.apache.spark.sql.graft.CheckpointBlocks.release _
+    var sym: DataFrame = null
+    val aliveTables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val e = edges.select(col("src"), col("dst"))
+      sym = e.select(col("src").as("id"), col("dst").as("nbr"))
+        .union(e.select(col("dst").as("id"), col("src").as("nbr")))
+        .localCheckpoint(true)
+      val nodes = sym.select("id").distinct()
+      // alive: (id, removed_round=0 placeholder) — peeled nodes leave with
+      // their round; survivors keep accumulating.
+      var alive = nodes.localCheckpoint(true)
+      aliveTables += alive
+      val removed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var lastDeg: DataFrame = null
+      var converged = false
+      var r = 1
+      while (r <= rounds && !converged) {
+        val deg = sym
+          .join(alive, "id")
+          .join(alive.select(col("id").as("nbr")), "nbr")
+          .groupBy("id").agg(count(lit(1)).as("core_deg"))
+        // Nodes with zero alive neighbors have no deg row: left join + 0.
+        val stamped = alive.join(deg, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+          .localCheckpoint(true)
+        aliveTables += stamped
+        val peeled = stamped.where(col("core_deg") < k)
+          .select(col("id"), lit(r.toLong).as("removed_round"),
+            col("core_deg"))
+        converged = peeled.isEmpty
+        if (!converged) {
+          removed += peeled
+          alive = stamped.where(col("core_deg") >= k).select("id")
+            .localCheckpoint(true)
+          aliveTables += alive
+        }
+        lastDeg = stamped
+        r += 1
+      }
+      val survivors = lastDeg.where(col("core_deg") >= k)
+        .select(col("id"), lit(0L).as("removed_round"), col("core_deg"))
+      val out = (removed :+ survivors).reduce(_ union _)
+        .select(col("id").as("doc_id"), col("removed_round"),
+          col("core_deg"),
+          (col("removed_round") === 0L).as("in_core"),
+          lit(converged).as("converged"))
+      use(out)
+    } finally {
+      if (sym != null) release(sym)
+      aliveTables.foreach(release)
+      ()
+    }
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) — the KG-COMPLETION
     * step a construction pipeline runs over its own materialized graph:
     * score each NON-adjacent pair by Σ_{c ∈ N(a)∩N(b)} 1/ln(deg(c)) —

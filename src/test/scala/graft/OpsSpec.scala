@@ -570,6 +570,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L)._2 > out(1L)._2)
   }
 
+  test("k-core peel: rounds, degrees, convergence flag; blocks released") {
+    val s = spark
+    import s.implicits._
+    // Path 1-2-3-4 (peels in two rounds) + triangle 5-6-7 (the 2-core) +
+    // pendant 8 on 5 (peels round 1).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L),
+      (6L, 7L), (5L, 8L)).toDF("src", "dst")
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+    val out = graft.kg.GraphOps.kCore(edges, k = 2, rounds = 6) {
+      _.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+        .toMap
+    }
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"kCore leaked persisted blocks: $leaked")
+    assert(out == Map(
+      1L -> ((1L, 1L, false, true)), 4L -> ((1L, 1L, false, true)),
+      8L -> ((1L, 1L, false, true)),
+      2L -> ((2L, 1L, false, true)), 3L -> ((2L, 1L, false, true)),
+      5L -> ((0L, 2L, true, true)), 6L -> ((0L, 2L, true, true)),
+      7L -> ((0L, 2L, true, true))), out)
+    // Insufficient rounds: round-1 survivors keep their round-1 degrees
+    // and the run reports non-convergence instead of a silent wrong core.
+    val partial = graft.kg.GraphOps.kCore(edges, k = 2, rounds = 1) {
+      _.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    }
+    assert(partial(2L) == ((0L, 2L, false)) && partial(5L) == ((0L, 3L, false)))
+    assert(partial(1L) == ((1L, 1L, false)))
+  }
+
   test("adamic-adar: scores non-adjacent pairs by shared-neighbor rarity") {
     val s = spark
     import s.implicits._
