@@ -648,9 +648,12 @@ object SparkEntry {
       // an absolute cap would be scale-dependent; the synthetic vocabulary
       // is template-heavy, so a tight cap empties the query set). Exact-
       // integer leaves + the round(…,6) ln contract — fully oracled.
+      // Round 6 (ADVICE #2): the proportional df-cap rides IN-PLAN (broadcast
+      // 1-row table count) instead of an eager full-table docs.count() at
+      // plan-build time — one fewer full scan per invocation; the cap value
+      // is the identical ceil(0.9·N) double product (oracle SQL unchanged).
       val docs = t(s, dir, "documents")
-      val maxDf = math.ceil(0.9 * docs.count()).toLong
-      TextOps.bm25TopK(docs, col("doc_id") % 50 === 3, maxDf = maxDf)
+      TextOps.bm25TopK(docs, col("doc_id") % 50 === 3, maxDfFrac = Some(0.9))
         .orderBy("qid", "rank")
     }),
     "q47_sorted_neighborhood" -> ((s, dir) => {

@@ -98,7 +98,9 @@ object GraphOps {
       // corpus-width task-launch overhead × stages × iterations (measured:
       // ~6s/iteration on a 6.6k-node graph at 64 partitions). ~50k rows per
       // partition, capped at 4× cluster width for genuinely large graphs;
-      // restored in the finally below.
+      // restored in the finally below. (Round 6 A/B'd moving this sizing
+      // BEFORE the nodes/trans builds — an extra edge-lineage action made it
+      // a net loss at sf0.1; kept in the round-5 shape.)
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(1L, math.min(math.max(n, m) / 50000L + 1,
           4L * spark.sparkContext.defaultParallelism)).toString)
@@ -275,11 +277,17 @@ object GraphOps {
   def triangleStats[T](edges: DataFrame)(use: DataFrame => T): T = {
     val spark = edges.sparkSession
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE off for the whole operator (round 6): its many graph-sized
+    // exchanges (degrees, orientation joins, wedge join, corner agg) each
+    // paid AQE's per-stage re-planning latency — pure overhead once the
+    // shuffles are already sized to the graph (the labelPropagation lesson).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val release = org.apache.spark.sql.graft.CheckpointBlocks.release _
     var e: DataFrame = null
     var deg: DataFrame = null
     var oriented: DataFrame = null
     try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       e = edges.select(col("src"), col("dst")).localCheckpoint(true)
       val m = e.count() // cheap: counts the checkpointed blocks
       spark.conf.set("spark.sql.shuffle.partitions",
@@ -326,6 +334,7 @@ object GraphOps {
             .as("clustering")))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       if (e != null) release(e)
       if (deg != null) release(deg)
       if (oriented != null) release(oriented)
@@ -352,17 +361,38 @@ object GraphOps {
   def kCore[T](edges: DataFrame, k: Int, rounds: Int = 6)
       (use: DataFrame => T): T = {
     require(k >= 1 && rounds >= 1)
+    val spark = edges.sparkSession
     val release = org.apache.spark.sql.graft.CheckpointBlocks.release _
+    // Round 6: the peeling loop gets the same treatment pageRank/
+    // labelPropagation already had — AQE off (per-stage re-planning latency
+    // on graph-sized exchanges is pure overhead) and every shuffle sized to
+    // the graph instead of the corpus-width session default; the symmetrized
+    // table is REPARTITIONED down before the eager checkpoint so each
+    // round's two alive-joins scan gp graph-sized blocks, not one tiny
+    // block per upstream corpus-width partition. Both settings restored in
+    // the finally; output bit-identical (partitioning never reaches
+    // semantics — the same argument as the q35/q40 sizing).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val ep = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var sym: DataFrame = null
     val aliveTables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val e = edges.select(col("src"), col("dst"))
-      sym = e.select(col("src").as("id"), col("dst").as("nbr"))
-        .union(e.select(col("dst").as("id"), col("src").as("nbr")))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val eCnt = ep.count() // materializes the edge cache; one bounded action
+      val gp = math.max(1L, math.min(2 * eCnt / 50000L + 1,
+        4L * spark.sparkContext.defaultParallelism)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", gp.toString)
+      sym = ep.select(col("src").as("id"), col("dst").as("nbr"))
+        .union(ep.select(col("dst").as("id"), col("src").as("nbr")))
+        .repartition(gp)
         .localCheckpoint(true)
       val nodes = sym.select("id").distinct()
-      // alive: (id, removed_round=0 placeholder) — peeled nodes leave with
-      // their round; survivors keep accumulating.
+      // alive: the ids still in the graph. Only round 0's table is its own
+      // checkpoint; later rounds derive alive as a NARROW filter over that
+      // round's checkpointed `stamped` leaf (re-scanning gp small blocks is
+      // cheaper than a second eager checkpoint job per round).
       var alive = nodes.localCheckpoint(true)
       aliveTables += alive
       val removed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -387,8 +417,6 @@ object GraphOps {
         if (!converged) {
           removed += peeled
           alive = stamped.where(col("core_deg") >= k).select("id")
-            .localCheckpoint(true)
-          aliveTables += alive
         }
         lastDeg = stamped
         r += 1
@@ -402,6 +430,9 @@ object GraphOps {
           lit(converged).as("converged"))
       use(out)
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      ep.unpersist()
       if (sym != null) release(sym)
       aliveTables.foreach(release)
       ()
@@ -429,11 +460,24 @@ object GraphOps {
     * `use` and the shared checkpoints are released on return. */
   def adamicAdar[T](edges: DataFrame, minCommon: Int = 2,
       maxHubDeg: Long = Long.MaxValue)(use: DataFrame => T): T = {
+    val spark = edges.sparkSession
     val release = org.apache.spark.sql.graft.CheckpointBlocks.release _
+    // Round 6: same sizing treatment as the rest of the family — AQE off
+    // (re-planning latency per graph-sized exchange) and shuffles sized to
+    // the graph, not the corpus-width session default; restored in the
+    // finally. The wedge join and (a,b) agg dominate and were running at
+    // 64 corpus-width partitions on a 1.2k-edge graph.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     var e: DataFrame = null
     var nbr: DataFrame = null
     try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+      val m = e.count() // cheap: counts the checkpointed blocks
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(2 * m / 50000L + 1,
+          4L * spark.sparkContext.defaultParallelism)).toString)
       val sym = e.select(col("src").as("c"), col("dst").as("n"))
         .union(e.select(col("dst").as("c"), col("src").as("n")))
       val deg = sym.groupBy("c").agg(count(lit(1)).as("cdeg"))
@@ -452,6 +496,8 @@ object GraphOps {
         .where(col("n_common") >= minCommon)
       use(out)
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       if (e != null) release(e)
       if (nbr != null) release(nbr)
       ()

@@ -526,9 +526,10 @@ object DedupOps {
     * multi-executor cluster use `spark.sparkContext.setCheckpointDir` +
     * `.checkpoint()` for lineage that survives executor loss). Each round
     * frees the PREVIOUS round's checkpoint blocks deterministically
-    * (`CheckpointBlocks.release`); only the final round's blocks back the
-    * returned DataFrame — callers that materialize the result in a
-    * long-lived session can free those too by passing the result through
+    * (`CheckpointBlocks.release`), and the fixpoint's blocks are freed too
+    * once the final (id, group, size) table — node-count-sized, the only
+    * blocks backing the returned DataFrame — is materialized; callers in a
+    * long-lived session can free that last table with
     * `CheckpointBlocks.release` once written.
     *
     * Convergence is detected EXACTLY (set equality via anti-join on the
@@ -563,29 +564,57 @@ object DedupOps {
         .where(col("u") =!= col("v"))
       viaNbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
-    var e = canon(pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v"))).localCheckpoint(true)
-    var round = 0
-    var done = e.isEmpty
-    while (!done && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // Both sides distinct + canonical ⇒ equal counts ∧ empty difference
-      // ⇔ identical sets.
-      done = next.count() == e.count() &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
-      // next is materialized and the convergence check above was the last
-      // reader of the old round — free its checkpoint blocks now instead
-      // of waiting for the ContextCleaner's post-GC sweep.
-      org.apache.spark.sql.graft.CheckpointBlocks.release(e)
-      e = next
-      round += 1
+    // Round 6: size the round shuffles to the PAIR GRAPH, not the
+    // corpus-width session default, and switch AQE off for the loop — the
+    // alternating-star rounds are many tiny graph-sized exchanges whose
+    // per-stage task-launch + AQE re-planning overhead dominated (the
+    // q35/q40 GraphOps lesson applied here). Both settings restored in the
+    // finally; the output is a pure function of the pair set, so
+    // partitioning never reaches semantics. The final (id, group, size)
+    // table is eagerly checkpointed INSIDE the sized region so every
+    // round's blocks (including the fixpoint's) are released
+    // deterministically before return — the returned DataFrame rides only
+    // its own node-count-sized blocks.
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    var e: DataFrame = null
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      e = canon(pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))).localCheckpoint(true)
+      val nPairs = e.count() // cheap: counts the checkpointed blocks
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(2 * nPairs / 50000L + 1,
+          4L * spark.sparkContext.defaultParallelism)).toString)
+      var round = 0
+      var done = nPairs == 0L
+      while (!done && round < maxRounds) {
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        // Both sides distinct + canonical ⇒ equal counts ∧ empty difference
+        // ⇔ identical sets.
+        done = next.count() == e.count() &&
+          next.join(e, Seq("u", "v"), "left_anti").isEmpty
+        // next is materialized and the convergence check above was the last
+        // reader of the old round — free its checkpoint blocks now instead
+        // of waiting for the ContextCleaner's post-GC sweep.
+        org.apache.spark.sql.graft.CheckpointBlocks.release(e)
+        e = next
+        round += 1
+      }
+      require(done, s"connectedComponents did not converge in $maxRounds rounds")
+      // At the fixpoint every edge is (member, root); roots appear only as v.
+      val members = e.select(col("u").as("id"), col("v").as("group_id"))
+        .union(e.select(col("v").as("id"), col("v").as("group_id")).distinct())
+      val sizes = members.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      members.join(sizes, "group_id").select("id", "group_id", "group_size")
+        .localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      if (e != null) org.apache.spark.sql.graft.CheckpointBlocks.release(e)
+      ()
     }
-    require(done, s"connectedComponents did not converge in $maxRounds rounds")
-    // At the fixpoint every edge is (member, root); roots appear only as v.
-    val members = e.select(col("u").as("id"), col("v").as("group_id"))
-      .union(e.select(col("v").as("id"), col("v").as("group_id")).distinct())
-    val sizes = members.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-    members.join(sizes, "group_id").select("id", "group_id", "group_size")
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with

@@ -212,7 +212,8 @@ object TextOps {
     * Returns (qid, did, bm25, rank). */
   def bm25TopK(docs: DataFrame, queryPred: Column, idCol: String = "doc_id",
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
-      maxQueryTerms: Int = 8, maxDf: Long = 200, topK: Int = 5): DataFrame = {
+      maxQueryTerms: Int = 8, maxDf: Long = 200, topK: Int = 5,
+      maxDfFrac: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).cast("long").as("did"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
@@ -225,8 +226,22 @@ object TextOps {
     // corpus degrades to an empty result instead of a driver error. Both
     // engines derive the identical avgdl double from the same exact longs.
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
-    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
+    // Proportional df-cap (round 6, ADVICE #2): with `maxDfFrac` set the cap
+    // is ceil(frac·|docs|) computed IN-PLAN from a broadcast 1-row count over
+    // the raw docs table (the table count, like the oracle's
+    // `ceil(0.9 * (SELECT count(*) FROM documents))` — NOT the tokenized-doc
+    // count in `stats`, which drops whitespace-only docs), instead of an
+    // eager full-table docs.count() at plan-build time. Both paths form the
+    // identical double product + ceil, so the cap value cannot differ.
+    val dfRaw = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val dfT = maxDfFrac match {
+      case None => dfRaw.where(col("df") <= maxDf)
+      case Some(frac) =>
+        val cap = docs.agg(
+          ceil(lit(frac) * count(lit(1))).cast("long").as("df_cap"))
+        dfRaw.crossJoin(broadcast(cap)).where(col("df") <= col("df_cap"))
+          .select("t", "df")
+    }
     val qids = docs.where(queryPred).select(col(idCol).cast("long").as("qid"))
     val qterms = tf.join(qids, col("did") === col("qid"))
       .join(dfT, "t") // capped terms can't contribute — drop before ranking
