@@ -36,10 +36,17 @@ object DedupOps {
         sequence(lit(1), length(textCol) - (n - 1)),
         i => textCol.substr(i, lit(n))))
 
-  /** Distinct-shingle explode: (id, shingle) rows. */
+  /** Distinct-shingle explode: (id, shingle) rows. The input is projected to
+    * (id, text) and floored to cluster-width partitions first
+    * ([[Par.scanSpread]]): the explode multiplies each row ~|text|× and
+    * hashes every shingle, so an unsplittable single-file scan would run the
+    * whole expansion in one task (measured 2-3.5 s single-task stages at
+    * sf0.1); at scale the input already has enough splits and the floor is a
+    * no-op. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("sid"),
+    Par.scanSpread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("sid"),
         explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
 
   /** n-gram Jaccard similarity of a query subset vs the whole corpus:
@@ -322,6 +329,9 @@ object DedupOps {
     val nSpans = when(nw >= n, (nw - (n - 1)).cast("bigint")).otherwise(0L)
     val idxs = when(nw >= n, sequence(lit(1), nw - (n - 1)))
       .otherwise(array().cast("array<int>"))
+    // No scan-parallelism floor here (round 6, measured): word 8-gram spans
+    // expand far less than char shingles, and `spans` feeds two plan
+    // branches — the added exchange cost more than the serial explode.
     val spans = docs.select(col(idCol).as("sid"),
       explode(transform(idxs, i => concat_ws(" ", slice(words, i, lit(n)))))
         .as("span"))
@@ -370,9 +380,10 @@ object DedupOps {
     val nw = size(words)
     val idxs = when(nw >= n, sequence(lit(1), nw - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val rawPos = docs.select(col(idCol).as("sid"),
-      explode(transform(idxs, i => struct(i.as("i"),
-        concat_ws(" ", slice(words, i, lit(n))).as("span")))).as("ps"))
+    val rawPos = Par.scanSpread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("sid"),
+        explode(transform(idxs, i => struct(i.as("i"),
+          concat_ws(" ", slice(words, i, lit(n))).as("span")))).as("ps"))
       .select(col("sid"), col("ps.i").as("i"), col("ps.span").as("span"))
     // hashSpans = the corpus-scale path: span STRINGS (n words each) become
     // xxhash64 keys before the distinct/df shuffle and join back, cutting

@@ -42,6 +42,10 @@ object TextOps {
     * it. */
   def heavyHitters(docs: DataFrame, textCol: String = "text",
       depth: Int = 4, topK: Int = 50): DataFrame = {
+    // No scan-parallelism floor here (round 6, measured): whitespace
+    // tokenization is cheap per input byte — spreading the scan cost more in
+    // added exchanges than the serial explode it parallelized (0.9→1.5 s),
+    // unlike the shingle family where the same floor won 2-4×.
     val toks = docs.select(explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .where(col("t") =!= "")
     def bucketCols(tok: Column) = (0 until depth).map { r =>
@@ -215,6 +219,10 @@ object TextOps {
       maxQueryTerms: Int = 8, maxDf: Long = 200, topK: Int = 5,
       maxDfFrac: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // No scan-parallelism floor here (round 6, measured): `toks`/`tf` feed
+    // several plan branches, so an added repartition exchange multiplies
+    // across them and cost 2× the serial explode it parallelized — the
+    // whitespace split is cheap per byte, unlike the shingle family.
     val toks = docs.select(col(idCol).cast("long").as("did"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
       .where(col("t") =!= "")
@@ -323,20 +331,28 @@ object TextOps {
     val nw = size(words)
     val bigramIdx = when(nw >= 2, sequence(lit(1), nw - 1))
       .otherwise(array().cast("array<int>"))
-    val bg = docs.select(col(idCol).as("sid"),
+    // Scan-parallelism floor — the bigram explode is the expensive narrow
+    // expansion here (no-op when the scan already has cluster-width splits).
+    val spread = Par.scanSpread(docs.select(col(idCol), col(textCol)))
+    val bg = spread.select(col(idCol).as("sid"),
       explode(transform(bigramIdx, i => struct(
         element_at(words, i).as("w1"),
         element_at(words, i + 1).as("w2")))).as("b"))
       .select(col("sid"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    // V: corpus vocabulary (all token positions, all docs) — one bounded
-    // scalar action, same role as the broadcast dictionaries elsewhere.
-    val v = docs.select(explode(words).as("tok")).distinct().count().toDouble
+    // V: corpus vocabulary (all token positions, all docs). Rides IN-PLAN as
+    // a broadcast 1-row cross join (round 6 — the q48 df-cap pattern from
+    // ADVICE #2) instead of an eager full-scan distinct().count() at
+    // plan-build time: one fewer full tokenization pass per invocation, and
+    // both paths feed the identical exact-BIGINT count into k·V.
+    val vocab = spread.select(explode(words).as("tok")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
     val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .groupBy("sid")
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(log((col("c2") + k) / (col("c1") + k * v))).as("lp"))
+        avg(log((col("c2") + k) / (col("c1") + col("v") * k))).as("lp"))
     docs.select(col(idCol))
       .join(scored.withColumnRenamed("sid", idCol), Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
