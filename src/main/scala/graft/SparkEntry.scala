@@ -114,6 +114,25 @@ object SparkEntry {
     finally r.unpersistAll()
   }
 
+  /** `scoped` for derived analytics that return EAGERLY CHECKPOINTED results
+    * (the round-6 `Par.sized` ops — coMentionEdges/pmiEdges/negativeSamples/
+    * entityTimeline/toolEntityEdges): stash the finished table, then free
+    * the derivation's checkpoint blocks deterministically (closing the
+    * pmiEdges lingering-blocks note from round-5 ADVICE). `f` also receives
+    * the turns dataset for the ops that join transcript structure. */
+  private def scopedCk(s: SparkSession, dir: String, topN: Int, name: String)(
+      f: (KgPipeline.KgRun,
+        org.apache.spark.sql.Dataset[graft.model.Turn]) => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val (corpus, turns) = kgInputs(s, dir)
+    val r = KgPipeline.run(s, turns, corpus, bdict(s), topN)
+    try {
+      val ck = f(r, turns)
+      try stash(s, finish(ck), name)
+      finally org.apache.spark.sql.graft.CheckpointBlocks.release(ck)
+    } finally r.unpersistAll()
+  }
+
   /** Canonicalization loop CLOSED (round 5; reference `ExtractTown.main`
     * → `AddressPersister.importRegionTowns` → next trie build): discover
     * town/village surface forms, grow the dictionary
@@ -434,25 +453,25 @@ object SparkEntry {
     "kg_comention" -> ((s, dir) =>
       // Materialized entity-adjacency table from actual links: top-1-linked
       // addresses co-mentioned in the same conversation.
-      scoped(s, dir, 5, "kg_comention")(r =>
-        KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)
-          .orderBy("src", "dst"))),
+      scopedCk(s, dir, 5, "kg_comention")((r, _) =>
+        KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1))(
+        _.orderBy("src", "dst"))),
     "kg_pmi" -> ((s, dir) =>
       // PMI-weighted co-mention edges: how much more two entities co-occur
       // than their popularity predicts (conversation units); exact counts +
       // one ln under the round(…,6) contract — fully oracled.
-      scoped(s, dir, 5, "kg_pmi")(r =>
-        KgPipeline.pmiEdges(s, r.mentions, r.hits, topRank = 1)
-          .orderBy("src", "dst"))),
+      scopedCk(s, dir, 5, "kg_pmi")((r, _) =>
+        KgPipeline.pmiEdges(s, r.mentions, r.hits, topRank = 1))(
+        _.orderBy("src", "dst"))),
     "kg_negatives" -> ((s, dir) =>
       // Deterministic filtered negative sampling (the TransE-family
       // corruption step): the bridge from the materialized KG to a
       // KG-embedding trainer. Pure hash picks from the dense-indexed
       // entity pool, anti-joined against true links — exact BIGINTs,
       // fully oracled.
-      scoped(s, dir, 5, "kg_negatives")(r =>
-        KgPipeline.negativeSamples(s, r.hits, k = 4)
-          .orderBy("query_id", "pos_doc_id", "slot", "neg_doc_id"))),
+      scopedCk(s, dir, 5, "kg_negatives")((r, _) =>
+        KgPipeline.negativeSamples(s, r.hits, k = 4))(
+        _.orderBy("query_id", "pos_doc_id", "slot", "neg_doc_id"))),
     "kg_ntriples" -> ((s, dir) =>
       // N-Triples interchange export of the materialized KG — the KG-side
       // analog of the .vt dump (q24); byte-for-byte oracled: DuckDB rebuilds
@@ -476,28 +495,20 @@ object SparkEntry {
       KgPipeline.conversationKeyphrases(s, turns)
         .orderBy("conv_id", "rank")
     }),
-    "kg_timeline" -> ((s, dir) => {
+    "kg_timeline" -> ((s, dir) =>
       // Temporal facets per linked entity: first/last mention epoch-millis,
       // mention count, distinct conversations — exact integers end-to-end,
       // recomputed by DuckDB from the hits/mentions/turns stage tables.
-      val (corpus, turns) = kgInputs(s, dir)
-      val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-      try stash(s,
-        KgPipeline.entityTimeline(s, r.mentions, r.hits, turns)
-          .orderBy("doc_id"), "kg_timeline")
-      finally r.unpersistAll()
-    }),
-    "kg_tool_edges" -> ((s, dir) => {
+      scopedCk(s, dir, 5, "kg_timeline")((r, turns) =>
+        KgPipeline.entityTimeline(s, r.mentions, r.hits, turns))(
+        _.orderBy("doc_id"))),
+    "kg_tool_edges" -> ((s, dir) =>
       // Tool→entity adjacency: which tools touch which canonical entities,
       // weighted by conversation count — the transcript-specific KG
       // adjacency product next to kg_comention.
-      val (corpus, turns) = kgInputs(s, dir)
-      val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-      try stash(s,
-        KgPipeline.toolEntityEdges(s, r.mentions, r.hits, turns)
-          .orderBy("tool", "doc_id"), "kg_tool_edges")
-      finally r.unpersistAll()
-    }),
+      scopedCk(s, dir, 5, "kg_tool_edges")((r, turns) =>
+        KgPipeline.toolEntityEdges(s, r.mentions, r.hits, turns))(
+        _.orderBy("tool", "doc_id"))),
     "kg_links_hydrated" -> ((s, dir) => {
       // D5 result hydration: link hits joined back to the corpus rows.
       import s.implicits._
@@ -733,13 +744,17 @@ object SparkEntry {
         // so its iteration checkpoints are freed on return.
         val (corpus, turns) = kgInputs(s, dir)
         val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-        try
-          graft.kg.GraphOps.pageRank(
-              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
-              iters = 5) { pr =>
-            stash(s, pr.orderBy("doc_id"), "q35_pagerank")
-          }
-        finally r.unpersistAll()
+        try {
+          // coMentionEdges arrives eagerly checkpointed (round 6) — release
+          // its blocks once the graph op has copied/derived what it needs.
+          val edges = KgPipeline.coMentionEdges(s, r.mentions, r.hits,
+            topRank = 1)
+          try
+            graft.kg.GraphOps.pageRank(edges, iters = 5) { pr =>
+              stash(s, pr.orderBy("doc_id"), "q35_pagerank")
+            }
+          finally org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
+        } finally r.unpersistAll()
       }),
     "q40_label_prop" -> ((s, dir) =>
       // Community detection over the same materialized co-mention graph as
@@ -751,13 +766,15 @@ object SparkEntry {
         // checkpoints free on return (the q35 pattern).
         val (corpus, turns) = kgInputs(s, dir)
         val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-        try
-          graft.kg.GraphOps.labelPropagation(
-              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
-              iters = 4) { lp =>
-            stash(s, lp.orderBy("doc_id"), "q40_label_prop")
-          }
-        finally r.unpersistAll()
+        try {
+          val edges = KgPipeline.coMentionEdges(s, r.mentions, r.hits,
+            topRank = 1)
+          try
+            graft.kg.GraphOps.labelPropagation(edges, iters = 4) { lp =>
+              stash(s, lp.orderBy("doc_id"), "q40_label_prop")
+            }
+          finally org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
+        } finally r.unpersistAll()
       }),
     "q41_triangles" -> ((s, dir) =>
       // Per-entity triangle counts + local clustering coefficient on the
@@ -769,12 +786,15 @@ object SparkEntry {
         // checkpoints free on return (the q35/q40 pattern).
         val (corpus, turns) = kgInputs(s, dir)
         val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-        try
-          graft.kg.GraphOps.triangleStats(
-              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1)) {
-            ts => stash(s, ts.orderBy("doc_id"), "q41_triangles")
-          }
-        finally r.unpersistAll()
+        try {
+          val edges = KgPipeline.coMentionEdges(s, r.mentions, r.hits,
+            topRank = 1)
+          try
+            graft.kg.GraphOps.triangleStats(edges) {
+              ts => stash(s, ts.orderBy("doc_id"), "q41_triangles")
+            }
+          finally org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
+        } finally r.unpersistAll()
       }),
     "q49_adamic_adar" -> ((s, dir) =>
       // Adamic–Adar link prediction over the co-mention graph — the
@@ -787,15 +807,17 @@ object SparkEntry {
         // checkpoints free on return (the q35/q40/q41 pattern).
         val (corpus, turns) = kgInputs(s, dir)
         val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-        try
+        try {
+          val edges = KgPipeline.coMentionEdges(s, r.mentions, r.hits,
+            topRank = 1)
           // minCommon=1 here (default 2 is the at-scale evidence bar): the
           // sparse sf graph yields a far richer verified surface at 1.
-          graft.kg.GraphOps.adamicAdar(
-              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
-              minCommon = 1) {
-            out => stash(s, out.orderBy("a", "b"), "q49_adamic_adar")
-          }
-        finally r.unpersistAll()
+          try
+            graft.kg.GraphOps.adamicAdar(edges, minCommon = 1) {
+              out => stash(s, out.orderBy("a", "b"), "q49_adamic_adar")
+            }
+          finally org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
+        } finally r.unpersistAll()
       }),
     "q50_kcore" -> ((s, dir) =>
       // k-core peeling (k=2, 6 fixed rounds) over the co-mention graph —
@@ -806,13 +828,15 @@ object SparkEntry {
         // checkpoints free on return (the q35/q40/q41 pattern).
         val (corpus, turns) = kgInputs(s, dir)
         val r = KgPipeline.run(s, turns, corpus, bdict(s), 5)
-        try
-          graft.kg.GraphOps.kCore(
-              KgPipeline.coMentionEdges(s, r.mentions, r.hits, topRank = 1),
-              k = 2, rounds = 6) {
-            out => stash(s, out.orderBy("doc_id"), "q50_kcore")
-          }
-        finally r.unpersistAll()
+        try {
+          val edges = KgPipeline.coMentionEdges(s, r.mentions, r.hits,
+            topRank = 1)
+          try
+            graft.kg.GraphOps.kCore(edges, k = 2, rounds = 6) {
+              out => stash(s, out.orderBy("doc_id"), "q50_kcore")
+            }
+          finally org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
+        } finally r.unpersistAll()
       }),
     "q36_dup_spans" -> ((s, dir) => {
       // Exact-substring dedup CUT LIST (Lee et al. 2021): duplicated word-

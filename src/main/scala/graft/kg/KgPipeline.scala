@@ -160,14 +160,30 @@ object KgPipeline {
       hits: Dataset[LinkHit], topRank: Int = 1): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // Round 6: the per-conversation link list is query-batch-sized, so the
+    // self-join + edge aggregation run in a `Par.sized` window (shuffles
+    // proportional to the counted link rows, AQE re-planning off — the
+    // GraphOps loop treatment applied to the one-shot edge build; at sf0.1
+    // the lazy version paid 8 session-width exchanges for a 1.2k-edge
+    // output). The links table is persisted for its two join branches and
+    // the count; the result is eagerly checkpointed (bounded: one row per
+    // co-mentioned entity pair) so the caller holds edge-sized blocks only —
+    // release them with CheckpointBlocks.release when done.
     val links = hits.filter(_.rank <= topRank).toDF()
       .join(mentions.map(m => (m.queryId, m.convId)).toDF("queryId", "convId"),
         "queryId")
       .select("convId", "docId").distinct()
-    links.as("l").join(links.as("r"),
-        col("l.convId") === col("r.convId") && col("l.docId") < col("r.docId"))
-      .groupBy(col("l.docId").as("src"), col("r.docId").as("dst"))
-      .agg(count(lit(1)).as("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = links.count() // also materializes the upstream pipeline caches
+      graft.ops.Par.sized(spark, n) {
+        links.as("l").join(links.as("r"),
+            col("l.convId") === col("r.convId") && col("l.docId") < col("r.docId"))
+          .groupBy(col("l.docId").as("src"), col("r.docId").as("dst"))
+          .agg(count(lit(1)).as("weight"))
+          .localCheckpoint(true)
+      }
+    } finally { links.unpersist(); () }
   }
 
   /** Deterministic negative sampling for KG-embedding training (the
@@ -196,33 +212,49 @@ object KgPipeline {
     import org.apache.spark.sql.functions._
     val p = graft.ops.DedupOps.HashP
     val params = graft.ops.DedupOps.minHashParams(k)
+    // Round 6: positives are query-batch-sized — persist + count once, then
+    // derive the pool prefix-sum, the pick join, and the filter anti-join
+    // with shuffles sized to that count and AQE re-planning off (Par.sized;
+    // the session-width version was 15 jobs / 674 tasks at sf0.1 for a
+    // 5.8k-row output). Result eagerly checkpointed (≤ |pos|·k rows — the
+    // same query-batch bound as the hits themselves) so the shared pos
+    // table can be released here; callers free the blocks with
+    // CheckpointBlocks.release after materializing.
     val pos = hits.filter(_.rank <= topRank).toDF()
       .select(col("queryId"), col("docId")).distinct()
-    val pool = graft.ops.OrderedScan.exclusivePrefixSum(
-      pos.select(col("docId").as("pool_doc")).distinct(),
-      Seq(col("pool_doc")), lit(1L), "pool_idx")
-    val nPool = pool.agg(count(lit(1)).as("n_pool"))
-    val seed = pmod(
-      pmod(col("queryId"), lit(p)) * 31L + pmod(col("docId"), lit(p)),
-      lit(p))
-    val slots = params.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i.toLong).as("slot"),
-        pmod(col("seed") * lit(a) + lit(b), lit(p)).as("h"))
-    }
-    val picks = pos.crossJoin(broadcast(nPool))
-      .withColumn("seed", seed)
-      .select(col("queryId"), col("docId"),
-        explode(array(slots: _*)).as("s"), col("n_pool"))
-      .select(col("queryId"), col("docId"), col("s.slot").as("slot"),
-        pmod(col("s.h"), col("n_pool")).as("pool_idx"))
-      .join(pool, "pool_idx")
-    // Filtered setting: a corruption that equals the positive's own entity
-    // or ANY true link of the same query is dropped.
-    picks
-      .join(pos.toDF("queryId", "pool_doc"), Seq("queryId", "pool_doc"),
-        "left_anti")
-      .select(col("queryId").as("query_id"), col("docId").as("pos_doc_id"),
-        col("slot"), col("pool_doc").as("neg_doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPos = pos.count() // also materializes the upstream pipeline caches
+      graft.ops.Par.sized(spark, nPos) {
+        val pool = graft.ops.OrderedScan.exclusivePrefixSum(
+          pos.select(col("docId").as("pool_doc")).distinct(),
+          Seq(col("pool_doc")), lit(1L), "pool_idx",
+          numPartitions = graft.ops.Par.partitionsFor(spark, nPos))
+        val nPool = pool.agg(count(lit(1)).as("n_pool"))
+        val seed = pmod(
+          pmod(col("queryId"), lit(p)) * 31L + pmod(col("docId"), lit(p)),
+          lit(p))
+        val slots = params.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i.toLong).as("slot"),
+            pmod(col("seed") * lit(a) + lit(b), lit(p)).as("h"))
+        }
+        val picks = pos.crossJoin(broadcast(nPool))
+          .withColumn("seed", seed)
+          .select(col("queryId"), col("docId"),
+            explode(array(slots: _*)).as("s"), col("n_pool"))
+          .select(col("queryId"), col("docId"), col("s.slot").as("slot"),
+            pmod(col("s.h"), col("n_pool")).as("pool_idx"))
+          .join(pool, "pool_idx")
+        // Filtered setting: a corruption that equals the positive's own
+        // entity or ANY true link of the same query is dropped.
+        picks
+          .join(pos.toDF("queryId", "pool_doc"), Seq("queryId", "pool_doc"),
+            "left_anti")
+          .select(col("queryId").as("query_id"), col("docId").as("pos_doc_id"),
+            col("slot"), col("pool_doc").as("neg_doc_id"))
+          .localCheckpoint(true)
+      }
+    } finally { pos.unpersist(); () }
   }
 
   /** TF-IDF keyphrase extraction per conversation — the document-TAGGING
@@ -286,22 +318,30 @@ object KgPipeline {
       .select("convId", "docId").distinct()
       .persist()
     try {
-      val tot = links.agg(count_distinct(col("convId")).as("n_convs"))
-      val ent = links.groupBy(col("docId")).agg(count(lit(1)).as("w_ent"))
-      val pairs = links.as("l").join(links.as("r"),
-          col("l.convId") === col("r.convId") && col("l.docId") < col("r.docId"))
-        .groupBy(col("l.docId").as("src"), col("r.docId").as("dst"))
-        .agg(count(lit(1)).as("w_pair"))
-      val out = pairs
-        .join(ent.toDF("src", "w_src"), "src")
-        .join(ent.toDF("dst", "w_dst"), "dst")
-        .crossJoin(broadcast(tot))
-        .select(col("src"), col("dst"), col("w_pair"), col("w_src"),
-          col("w_dst"), col("n_convs"),
-          round(log(col("w_pair").cast("double") * col("n_convs") /
-            (col("w_src").cast("double") * col("w_dst"))), 6).as("pmi"))
-      // Materialize before releasing the shared links table.
-      out.localCheckpoint(true)
+      // Round 6: count the (query-batch-sized) links once, then run the
+      // whole PMI derivation — two aggs, the pair self-join, two joins —
+      // with shuffles sized to that count and AQE re-planning off
+      // (Par.sized; at sf0.1 the session-width version was 19 jobs / 1090
+      // tasks for a 1.2k-row output).
+      val n = links.count()
+      graft.ops.Par.sized(spark, n) {
+        val tot = links.agg(count_distinct(col("convId")).as("n_convs"))
+        val ent = links.groupBy(col("docId")).agg(count(lit(1)).as("w_ent"))
+        val pairs = links.as("l").join(links.as("r"),
+            col("l.convId") === col("r.convId") && col("l.docId") < col("r.docId"))
+          .groupBy(col("l.docId").as("src"), col("r.docId").as("dst"))
+          .agg(count(lit(1)).as("w_pair"))
+        val out = pairs
+          .join(ent.toDF("src", "w_src"), "src")
+          .join(ent.toDF("dst", "w_dst"), "dst")
+          .crossJoin(broadcast(tot))
+          .select(col("src"), col("dst"), col("w_pair"), col("w_src"),
+            col("w_dst"), col("n_convs"),
+            round(log(col("w_pair").cast("double") * col("n_convs") /
+              (col("w_src").cast("double") * col("w_dst"))), 6).as("pmi"))
+        // Materialize before releasing the shared links table.
+        out.localCheckpoint(true)
+      }
     } finally { links.unpersist(); () }
   }
 
@@ -336,17 +376,29 @@ object KgPipeline {
       topRank: Int = 1): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // Round 6: the links side is query-batch-sized — persist + count it,
+    // then broadcast it into the turns join so the turns side never
+    // shuffles, and run the final entity agg sized to the counted links
+    // (Par.sized). Output checkpointed (one row per linked entity); callers
+    // release with CheckpointBlocks.release.
     val links = hits.filter(_.rank <= topRank).toDF()
       .join(mentions.map(m =>
           (m.queryId, s"${m.convId}#${m.turnIdx}", m.convId))
         .toDF("queryId", "subj", "convId"), "queryId")
-    val tdf = turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.ts.getTime))
-      .toDF("subj", "ts_ms")
-    links.join(tdf, "subj")
-      .groupBy(col("docId").as("doc_id"))
-      .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"),
-        count(lit(1)).as("n_mentions"),
-        countDistinct("convId").as("n_convs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = links.count() // also materializes the upstream pipeline caches
+      graft.ops.Par.sized(spark, n) {
+        val tdf = turns.map(t => (s"${t.conv_id}#${t.turn_idx}", t.ts.getTime))
+          .toDF("subj", "ts_ms")
+        broadcast(links).join(tdf, "subj")
+          .groupBy(col("docId").as("doc_id"))
+          .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"),
+            count(lit(1)).as("n_mentions"),
+            countDistinct("convId").as("n_convs"))
+          .localCheckpoint(true)
+      }
+    } finally { links.unpersist(); () }
   }
 
   /** Tool→entity adjacency: an edge (tool, docId, weight) whenever a
@@ -363,15 +415,27 @@ object KgPipeline {
       topRank: Int = 1): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // Round 6: the entity-conversation side is query-batch-sized — persist +
+    // count, then broadcast it into the tool join (the per-conv tool
+    // DISTINCT still shuffles, but sized to the counted links) and run the
+    // edge agg in the same Par.sized window. Output checkpointed; callers
+    // release with CheckpointBlocks.release.
     val entConv = hits.filter(_.rank <= topRank).toDF()
       .join(mentions.map(m => (m.queryId, m.convId))
         .toDF("queryId", "convId"), "queryId")
       .select("convId", "docId").distinct()
-    val toolConv = turns.filter(t => t.tool != null && t.tool.nonEmpty)
-      .map(t => (t.conv_id, t.tool)).toDF("convId", "tool").distinct()
-    entConv.join(toolConv, "convId")
-      .groupBy(col("tool"), col("docId").as("doc_id"))
-      .agg(count(lit(1)).as("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = entConv.count() // also materializes the upstream pipeline caches
+      graft.ops.Par.sized(spark, n) {
+        val toolConv = turns.filter(t => t.tool != null && t.tool.nonEmpty)
+          .map(t => (t.conv_id, t.tool)).toDF("convId", "tool").distinct()
+        broadcast(entConv).join(toolConv, "convId")
+          .groupBy(col("tool"), col("docId").as("doc_id"))
+          .agg(count(lit(1)).as("weight"))
+          .localCheckpoint(true)
+      }
+    } finally { entConv.unpersist(); () }
   }
 
   /** N-Triples serialization of the materialized triple table — the

@@ -19,11 +19,17 @@ object OrderedScan {
   /** Returns `df`'s columns plus `outCol` = the exclusive running sum of
     * `weight` over the total order `order`. The result is eagerly
     * materialized (localCheckpoint) before the internal two-pass parent is
-    * unpersisted. */
+    * unpersisted. `numPartitions` ≤ 0 (default) ranges into cluster-width
+    * partitions; callers that have already COUNTED the input can pass a
+    * data-proportional count (round 6 — the stamped values are a pure
+    * function of the total order, so the partition count never reaches the
+    * output; pinned by OpsSpec's partitioning-invariance tests). */
   def exclusivePrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
-      outCol: String): DataFrame = {
+      outCol: String, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    val np =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, spark.sparkContext.defaultParallelism)
     val arranged = df.withColumn("__w", weight.cast("long"))
       .repartitionByRange(np, order: _*)
       .sortWithinPartitions(order: _*)
