@@ -27,12 +27,23 @@ object ProbePipeline {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var verbose = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
       }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+        if (verbose) {
+          val i = s.stageInfo
+          val wall = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
+          if (wall >= 40) {
+            val site = i.details.linesIterator
+              .filterNot(_.contains("org.apache.spark")).take(1).mkString
+            println(f"  [stage] ${i.stageId} ${i.name.take(45)} wall=${wall}ms tasks=${i.numTasks} site=$site")
+          }
+        }
+        ()
       }
     })
     def time[T](name: String)(f: => T): T = {
@@ -69,10 +80,13 @@ object ProbePipeline {
         m.count(); m
       }
       val hits = time("linkTopKAuto") {
+        verbose = pass == 3
         val h = Linker.linkTopKAuto(spark, mentions.map(_.doc), docs, 5,
             idf = Some(idf))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        h.count(); h
+        h.count()
+        verbose = false
+        h
       }
       time("triples+count") {
         KgPipeline.mentionTriples(spark, mentions, b)

@@ -361,7 +361,7 @@ object Linker {
     // stage embarrassingly parallel. Bit-identical results: the cell cogroup
     // re-keys every row anyway, and per-query top-k is order-independent.
     val qSpread =
-      if (!qspread) queries
+      if (!qspread || !anyDb) queries // no ×db replication ⇒ nothing to spread
       else queries.repartition(
         math.max(spark.sparkContext.defaultParallelism,
           spark.sessionState.conf.numShufflePartitions),
@@ -437,14 +437,26 @@ object Linker {
   def countStats(spark: SparkSession, queries: Dataset[DocVec],
       docs: Dataset[DocVec]): Array[(String, Long, Long)] = {
     import spark.implicits._
-    queries.map(q => (q.partKey, 1L, 0L))
-      .union(docs.map(d => (d.partKey, 0L, 1L)))
-      .groupByKey(_._1)
-      .mapGroups { (pk, it) =>
-        var q = 0L; var d = 0L
-        it.foreach { r => q += r._2; d += r._3 }
-        (pk, q, d)
-      }.collect()
+    // Per-partition local maps merged on the driver (round 6): district
+    // cardinality is bounded (~10³ nationally), so the partial maps are
+    // tiny — no exchange at all, one narrow stage per side instead of a
+    // map + shuffle + reduce (the OrderedScan per-partition-totals idiom).
+    def partials(ds: Dataset[DocVec], qSide: Boolean) = ds.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach(d => m.merge(d.partKey, 1L, (a, b) => a + b))
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e =>
+        if (qSide) (e.getKey, e.getValue.longValue(), 0L)
+        else (e.getKey, 0L, e.getValue.longValue()))
+    }
+    val merged = new scala.collection.mutable.HashMap[String, (Long, Long)]()
+    partials(queries, qSide = true).union(partials(docs, qSide = false))
+      .collect()
+      .foreach { case (pk, q, d) =>
+        val (q0, d0) = merged.getOrElse(pk, (0L, 0L))
+        merged(pk) = (q0 + q, d0 + d)
+      }
+    merged.iterator.map { case (pk, (q, d)) => (pk, q, d) }.toArray
   }
 
   /** The auto-router's decision, exposed for inspection (the skew-stress
@@ -506,7 +518,27 @@ object Linker {
           math.round(math.sqrt(cells.toDouble * q / d)))).toInt
         val dbWork = (cells + g - 1) / g
         val dbMem = (d + maxDocsPerCell - 1) / maxDocsPerCell
-        Some(pk -> CellKnobs(g, math.max(dbWork, dbMem).toInt))
+        val db = math.max(dbWork, dbMem)
+        // Round 6: a db>1 split has costs the replicated-bytes minimum
+        // (g/db ≈ q/d) does not see — the query side is replicated ×db
+        // AND re-shuffled (qspread), and every query pays a k-row partial
+        // top-k merge exchange. When the memory valve does not force the
+        // split, prefer covering the cells with query buckets ALONE if the
+        // extra doc-blob replication stays within 4× of the split plan's
+        // total replicated rows — true exactly in the small-cells regime
+        // where fixed per-exchange overhead dominates (measured at sf0.1:
+        // cells≈8/district, the db=4 plan cost a query-replication
+        // exchange + a merge shuffle for zero memory benefit). At scale
+        // cells ≫ maxQBuckets or the 4× bound fails and the 2-D split
+        // stands unchanged. Results are bit-identical for ANY knobs
+        // (KgPipelineSpec pins it); only shuffle topology changes.
+        val gOnly = math.min(cells, math.min(q, maxQBuckets.toLong))
+        val knob =
+          if (db > 1 && dbMem <= 1 && gOnly >= cells &&
+              gOnly * d <= 4L * (g * d + 2L * db * q))
+            CellKnobs(gOnly.toInt, 1)
+          else CellKnobs(g, db.toInt)
+        Some(pk -> knob)
       }
     }.toMap
     RoutePlan(qCounts, dCounts, bcastPks, shufflePks, knobs)
