@@ -290,7 +290,9 @@ object SparkEntry {
         // Bounded top-k is prefix-stable (pinned ties): rank<=3 of the
         // topN=5 run IS the topN=3 run, so explain shares the run's hits.
         val hits3 = r.hits.filter(_.rank <= 3)
-        Linker.explainHits(s, r.mentions.map(_.doc), r.docsIdf, hits3).toDF()
+        // mentionsIdf: the on-demand stamped view (run() persists mentions
+        // unstamped since round 6 — the link stamps in-cell).
+        Linker.explainHits(s, r.mentionsIdf.map(_.doc), r.docsIdf, hits3).toDF()
           .select(col("queryId"), col("docId"), col("rank"),
             round(col("similarity"), 9).as("similarity"),
             posexplode(col("matched")).as(Seq("pos", "m")))
@@ -1197,9 +1199,10 @@ object SparkEntry {
 
     // Per-term explain stage tables: the kg_links_explain oracle recomputes
     // scoreExplain (lookups, boosts, coord/density, tfidf) in DuckDB from
-    // these. Query side = the stamped mention docs; doc side = docsIdf —
-    // both straight from the run the hit tables came from.
-    val qdocs = r.mentions.map(_.doc)
+    // these. Query side = the stamped mention docs (the on-demand
+    // mentionsIdf view — run() keeps mentions unstamped since round 6); doc
+    // side = docsIdf — both straight from the run the hit tables came from.
+    val qdocs = r.mentionsIdf.map(_.doc)
     w(qdocs.flatMap(d => d.texts.indices.map(i =>
         (d.docId, i, d.texts(i), d.tTypes.charAt(i).toString, d.idfs(i))))
       .toDF("queryId", "qi", "text", "type", "idf"), "explain_qterms")

@@ -45,12 +45,15 @@ object Accuracy {
 
     // Query ids offset so they never collide with corpus doc ids.
     val queries = pairs.map(p => (p.id + n, p.queryText))
-    val qdocs = Linker.analyseQueries(spark, queries, dict, idf)
+    // Round 6: interpret only — query idfs stamp IN-CELL (stampQueries, the
+    // KgPipeline.run contract), so the analyseQueries idf cogroup is out of
+    // this DAG too; the interpreted-flag consumer below reads ids only.
+    val qdocs = Linker.buildDocs(spark, queries, dict)
       .persist(StorageLevel.MEMORY_AND_DISK) // interpreted-flag + linkTopK
 
     // Fused idf attach: no separate docsIdf stage (round 4).
     val hits = Linker.linkTopKAuto(spark, qdocs, docs, topN = 1,
-      idf = Some(idf))
+      idf = Some(idf), stampQueries = true)
 
     val labels = pairs.select($"id", $"gridId")
     val interpreted = qdocs.map(_.docId - n).toDF("pair_id")

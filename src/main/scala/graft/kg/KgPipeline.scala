@@ -491,6 +491,7 @@ object KgPipeline {
       hits: Dataset[LinkHit],
       idf: Dataset[graft.model.IdfRow],
       docsIdf: Dataset[DocVec],
+      mentionsIdf: Dataset[MentionDoc],
       private val cached: Seq[Dataset[_]]) {
     def unpersistAll(): Unit = cached.foreach(_.unpersist())
   }
@@ -540,23 +541,30 @@ object KgPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = Linker.buildIdf(spark, docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val mentions = stampQueryIdf(spark, detectMentions(spark, turns, dict), idf)
+    // Round 6: mentions persist UNSTAMPED — the link stamps query idfs
+    // IN-CELL from the shipped idf blobs (stampQueries below, the same
+    // contract the streaming LinkIndex has used since round 5), so the
+    // per-run stampQueryIdf cogroup — two exchanges of the mention side —
+    // is out of the pipeline DAG. Every other mentions consumer (triples,
+    // co-mention/timeline/tool edges) reads identity/addr fields only.
+    val mentions = detectMentions(spark, turns, dict)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // FUSED idf attach (round 4): the doc side goes into the link shuffle
     // with zero idfs and the per-district IDF table ships into the scoring
-    // cells, where sides are stamped before scoring. One fewer full
+    // cells, where BOTH sides are stamped before scoring. One fewer full
     // doc-side shuffle (the old attachIdf cogroup) and one fewer persisted
     // stage; bit-identical hits (KgPipelineSpec fused gate, DriftPinSpec).
     val hits = Linker.linkTopKAuto(spark, mentions.map(_.doc), docs, topN,
-        idf = Some(idf))
+        idf = Some(idf), stampQueries = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Cold-path view for consumers that need idf-stamped doc vectors
-    // (per-term explain, stage materialization): derived on demand, NOT
-    // persisted — it no longer participates in the link job.
+    // Cold-path views for consumers that need idf-stamped vectors (per-term
+    // explain, stage materialization): derived on demand, NOT persisted —
+    // they no longer participate in the link job.
     val docsIdf = Linker.attachIdf(spark, docs, idf)
+    val mentionsIdf = stampQueryIdf(spark, mentions, idf)
     val triples = mentionTriples(spark, mentions, dict)
       .union(linkTriples(spark, mentions, hits))
-    KgRun(mentions, triples, hits, idf, docsIdf,
+    KgRun(mentions, triples, hits, idf, docsIdf, mentionsIdf,
       Seq(docs, idf, mentions, hits))
   }
 }

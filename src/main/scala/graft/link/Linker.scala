@@ -241,7 +241,9 @@ object Linker {
     val termKeys = termKeyRows(spark, docs)
     val df = termKeys.groupBy($"partKey", $"termKey").agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy($"partKey").agg(count(lit(1)).as("nDocs"))
-    df.join(nDocs, "partKey")
+    // One row per district (bounded ~10³ nationally) — broadcast, so the
+    // term-df side streams out of its aggregation without a join exchange.
+    df.join(broadcast(nDocs), "partKey")
       .select($"partKey", $"termKey", $"df",
         when(($"termKey".rlike("^[0-9]+$")) || ($"termKey".rlike("^[A-Za-z]+$")), lit(2.0))
           .otherwise(greatest(lit(0.0), log($"nDocs".cast("double") / ($"df" + 1))))
@@ -325,8 +327,18 @@ object Linker {
       knobsByPk: Map[String, CellKnobs] = Map.empty,
       idf: Option[Dataset[graft.model.IdfRow]] = None,
       wand: Boolean = WandDefault,
-      qspread: Boolean = QSpreadDefault): Dataset[LinkHit] = {
+      qspread: Boolean = QSpreadDefault,
+      stampQueries: Boolean = false): Dataset[LinkHit] = {
     import spark.implicits._
+    // Fused QUERY stamping (round 6): with `stampQueries` the query side may
+    // arrive with ZERO idfs and each cell stamps it from the same in-cell
+    // idf map the doc sides use (`DocAnalyser.stampIdf` — the identical
+    // rule, so scores are bit-identical to the pre-stamped path; the
+    // LinkIndex stream link has used exactly this contract since round 5).
+    // This removes the per-run `stampQueryIdf` cogroup — two exchanges of
+    // the mention side — from the pipeline DAG.
+    require(!stampQueries || idf.isDefined,
+      "stampQueries needs the fused idf path (idf = Some(...))")
     val default = CellKnobs(math.max(1, qBuckets), math.max(1, dBuckets))
     val bknobs = spark.sparkContext.broadcast(knobsByPk)
     def gOf(knobs: Map[String, CellKnobs], pk: String): Int =
@@ -420,7 +432,13 @@ object Linker {
           var i = 0
           while (i < buf.length) { Scoring.stampSideIdfs(buf(i), idfMap); i += 1 }
         }
-        scoreCellBlocked(qIt.map(_._2), buf.toArray, topN, wand = wand)
+        // Lazy map over the query iterator: stamping runs inside
+        // scoreCellBlocked's drain, which happens after the idf map above
+        // is complete.
+        val qs =
+          if (stampQueries) qIt.map(p => DocAnalyser.stampIdf(p._2, idfMap))
+          else qIt.map(_._2)
+        scoreCellBlocked(qs, buf.toArray, topN, wand = wand)
       }
     }
     if (!anyDb) partial
@@ -570,8 +588,11 @@ object Linker {
       bcastTotalMax: Long = 1L << 17,
       idf: Option[Dataset[graft.model.IdfRow]] = None,
       wand: Boolean = WandDefault,
-      qspread: Boolean = QSpreadDefault): Dataset[LinkHit] = {
+      qspread: Boolean = QSpreadDefault,
+      stampQueries: Boolean = false): Dataset[LinkHit] = {
     import spark.implicits._
+    require(!stampQueries || idf.isDefined,
+      "stampQueries needs the fused idf path (idf = Some(...))")
     val plan = planRoutes(countStats(spark, queries, docs),
       spark.sparkContext.defaultParallelism, targetPairsPerCell,
       maxDocsPerCell, maxQBuckets, bcastQMax, bcastTotalMax)
@@ -586,7 +607,7 @@ object Linker {
       docs.filter(d => bShuffle.value.contains(d.partKey)),
       topN, qBuckets = 1, dBuckets = 1, knobsByPk = knobs,
       idf = idf.map(_.filter(r => bShuffle.value.contains(r.partKey))),
-      wand = wand, qspread = qspread)
+      wand = wand, qspread = qspread, stampQueries = stampQueries)
 
     if (bcastPks.isEmpty) restHits
     else {
@@ -611,9 +632,22 @@ object Linker {
           }
         spark.sparkContext.broadcast(m.toMap)
       }
+      // Fused query stamping on the broadcast route: the collected queries
+      // are stamped DRIVER-side from the same collected per-district idf
+      // maps the streamed doc sides use — identical rule, and a partKey
+      // absent from the maps stamps against the empty map (every term
+      // MISSING_IDF), exactly the stampQueryIdf cogroup's behavior for an
+      // idf-less district.
+      val qBStamped =
+        if (!stampQueries) qB
+        else {
+          val maps = idfB.get.value
+          qB.map(q => DocAnalyser.stampIdf(q,
+            maps.getOrElse(q.partKey, EmptyIdfMap)))
+        }
       val hitsB = linkTopKBroadcast(spark,
-        qB, docs.filter(d => bBcast.value.contains(d.partKey)), topN, idfB,
-        wand = wand)
+        qBStamped, docs.filter(d => bBcast.value.contains(d.partKey)), topN,
+        idfB, wand = wand)
       restHits.union(hitsB)
     }
   }

@@ -271,6 +271,25 @@ class KgPipelineSpec extends AnyFunSuite {
       .map(h => (h.queryId, h.docId, h.rank,
         java.lang.Double.doubleToLongBits(h.similarity))).toSet
     assert(autoFusedNoSpread == base)
+
+    // Fused QUERY stamping (round 6): ZERO-IDF queries stamped in-cell from
+    // the shipped idf blobs (shuffle cells) and driver-side from the
+    // collected per-district maps (broadcast route) must be bit-identical
+    // to the pre-stamped query side — the KgPipeline.run link shape.
+    val autoQStamp = Linker.linkTopKAuto(s, docs0, docs0, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 0,
+        idf = Some(idf), stampQueries = true)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(autoQStamp == base)
+    val autoQStampBcast = Linker.linkTopKAuto(s, docs0, docs0, 5,
+        targetPairsPerCell = 64, maxDocsPerCell = 32, bcastQMax = 1000000,
+        idf = Some(idf), stampQueries = true)
+      .collect()
+      .map(h => (h.queryId, h.docId, h.rank,
+        java.lang.Double.doubleToLongBits(h.similarity))).toSet
+    assert(autoQStampBcast == base)
   }
 
   test("co-mention adjacency: edge weights count distinct conversations") {
