@@ -278,6 +278,9 @@ object KgPipeline {
       n: Int = 2, topK: Int = 3, maxDfFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    // (Round 6 A/B'd a persist-once + Par.sized rewrite here — it measured
+    // SLOWER at sf0.1: the persist/count/checkpoint jobs cost more than the
+    // second source scan they removed. Kept in the lazy round-5 shape.)
     val t = turns.toDF().select(col("conv_id"), col("text"))
     val grams = t.select(col("conv_id"),
       explode(graft.ops.DedupOps.shingles(col("text"), n)).as("gram"))

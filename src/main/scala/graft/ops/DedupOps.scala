@@ -634,7 +634,10 @@ object DedupOps {
     * top-k is for ANN search. */
   def embeddingNearDupExact(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    // Scan-parallelism floor (round 6): the O(N²) cosine loop otherwise runs
+    // in ONE task when the scan is a single small file; no-op at scale.
+    val spread = Par.scanSpread(emb.select(col(idCol), col(vecCol)))
+    val l = spread.select(col(idCol).as("a"), col(vecCol).as("va"))
     val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -656,8 +659,11 @@ object DedupOps {
       AnnOps.lshBucket(col(vecCol), planes.slice(t * bits, (t + 1) * bits)) +
         lit(t.toLong << bits)
     }
-    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array(keys: _*)).as("bucket"))
+    // Scan-parallelism floor (round 6): ×tables bucket hashing + the bucket
+    // self-join's cosines ran single-task on a one-file scan; no-op at scale.
+    val keyed = Par.scanSpread(emb.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(keys: _*)).as("bucket"))
     // Score inside the bucket join (the native cosine is codegen-cheap),
     // THEN dedup: the multi-table duplicate shuffle moves 24-byte
     // (a, b, cos) rows, not two embedding vectors per candidate pair.
