@@ -258,9 +258,15 @@ object Linker {
     * `translateRoadNum` semantics, so it stays a Scala function (invoked only
     * for 'N' terms — a handful per doc). */
   private def termKeyCol: Column = {
-    val f = udf((t: String, text: String, ref: String) =>
-      DocAnalyser.idfKey(TermRow(t, text, 0.0, ref)))
-    f(col("t"), col("text"), col("road"))
+    // Codegen for the common case (round 6, guide §4): every non-'N' term's
+    // idf key IS its text — only the RoadNum composite needs the Scala
+    // `translateRoadNum` UDF, and 'N' terms are a handful per doc. The
+    // branch is the same rule as `DocAnalyser.idfKey`, value-identical.
+    val f = udf((text: String, ref: String) =>
+      (if (ref == null) "" else ref) + "-" +
+        graft.analyse.Segmenter.translateRoadNum(text))
+    when(col("t") === "N", f(col("text"), col("road")))
+      .otherwise(col("text"))
   }
 
   /** Stamp per-partition idf onto every doc term (reference: `:601-611`).

@@ -117,6 +117,11 @@ object DedupOps {
       textCol: String = "text", w: Int = 3, n: Int = 8,
       tau: Double = 0.5, keyPrefixLen: Int = 64): DataFrame = {
     require(w > 0 && keyPrefixLen > 0)
+    // (Round 6 A/B'd a Par.scanSpread floor on this projection — a small
+    // measured LOSS: the rank input feeds repartitionByRange immediately, so
+    // the added exchange only saves the range-sampler's one-task scan and
+    // costs more than that. Kept unspread; the shingle-verify side below
+    // rides shingleRows' spread.)
     val keyed = docs.select(col(idCol).cast("long").as("id"),
       substring(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")),
         1, keyPrefixLen).as("skey"))
@@ -595,9 +600,21 @@ object DedupOps {
       e = canon(pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))).localCheckpoint(true)
       val nPairs = e.count() // cheap: counts the checkpointed blocks
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(2 * nPairs / 50000L + 1,
-          4L * spark.sparkContext.defaultParallelism)).toString)
+      val gp = math.max(1L, math.min(2 * nPairs / 50000L + 1,
+        4L * spark.sparkContext.defaultParallelism)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", gp.toString)
+      // Re-lay the pair table to the sized width before the loop: the
+      // checkpoint above inherits the pair-GENERATION partitioning (a
+      // session-width bucket-join output), and every round's large-star
+      // scans it from two union branches — measured 775 tasks in round 1 at
+      // sf0.1 vs ~19 per later (gp-sized) round. One tiny extra exchange
+      // here; round outputs already come out at gp partitions. No-op when
+      // the generation layout is already in the sized regime.
+      if (e.rdd.getNumPartitions > 4 * gp) {
+        val relaid = e.repartition(gp).localCheckpoint(true)
+        org.apache.spark.sql.graft.CheckpointBlocks.release(e)
+        e = relaid
+      }
       var round = 0
       var done = nPairs == 0L
       while (!done && round < maxRounds) {
