@@ -137,6 +137,14 @@ object TranscriptStream {
         // No stampQueryIdf here: the index stamps query idfs IN-CELL from
         // its idf blobs (same DocAnalyser.stampIdf, bit-identical scores),
         // so the per-batch idf-table cogroup shuffle disappears as well.
+        //
+        // (Round 6 A/B'd a Par.scanSpread-style parallelism floor on the
+        // batch before detection — a consistent measured LOSS at sf0.1
+        // (5.3→6.2 s): the added exchange's map side still reads the
+        // trigger's single file serially, so the shuffle + stage latency
+        // cost more than the ~0.3-0.6 s one-task detection it spread. A
+        // production-rate trigger carries many splits and parallelizes at
+        // the source; kept unspread.)
         val mentions = KgPipeline.detectMentions(spark, batch, dict)
           .persist()
         try {
