@@ -197,7 +197,15 @@ object Linker {
     * machinery hashes/compares 8 bytes instead of whole documents. Memory:
     * a partition holds its share of DISTINCT texts only; at 100 TB size
     * `spark.sql.shuffle.partitions` so distinct-bytes/partitions fits a task
-    * (exactness is unaffected by the partition count). */
+    * (exactness is unaffected by the partition count).
+    *
+    * (Round 6 A/B'd the codegen'd `groupBy(rawText).agg(min(id))` shape —
+    * map-side partial agg + no encoder boundary — and it measured a wash to
+    * a slight LOSS on this corpus (kg_dedup_corpus 5-pass min 0.93→1.04 s):
+    * with few duplicates the partial agg dedups nothing and adds a map-side
+    * hash-table pass. On a dup-heavy 100 TB ingest the partial agg's
+    * shuffled-row savings would win; for the declared corpus the hash-first
+    * shape stands.) */
   def dedupCorpus(spark: SparkSession,
       corpus: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import spark.implicits._
