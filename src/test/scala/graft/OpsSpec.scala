@@ -1101,6 +1101,25 @@ class OpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
   }
 
+  test("connected components: pair-table re-lay is layout-invariant") {
+    // Round 6: a wide-partitioned pair input (the session-width bucket-join
+    // layout a real caller hands in) triggers the pre-loop repartition to
+    // the sized loop width; output must be identical to the narrow input's.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+    def runAt(parts: Int) =
+      DedupOps.connectedComponents(edges.toDF("a", "b").repartition(parts))
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("group_id"),
+          r.getAs[Long]("group_size"))).toSet
+    val narrow = runAt(2)   // below the 4×gp gate: no re-lay
+    val wide = runAt(64)    // far above it: the re-lay exchange fires
+    assert(narrow.nonEmpty && wide == narrow)
+  }
+
   test("stratified sample: deterministic hash-threshold keep, stable under repartition") {
     val s = spark
     import s.implicits._
