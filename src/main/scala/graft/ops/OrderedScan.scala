@@ -30,10 +30,29 @@ object OrderedScan {
     val np =
       if (numPartitions > 0) numPartitions
       else math.max(1, spark.sparkContext.defaultParallelism)
-    val arranged = df.withColumn("__w", weight.cast("long"))
+    val arranged0 = df.withColumn("__w", weight.cast("long"))
       .repartitionByRange(np, order: _*)
       .sortWithinPartitions(order: _*)
-      .persist()
+    if (np == 1) {
+      // Single-partition fast path (round 6): with one range partition the
+      // exclusive sum needs no per-partition totals — skip the totals job,
+      // the broadcast, and the two-pass persist; one sorted pass stamps the
+      // running sum from 0. Identical values by construction (the np>1 path
+      // reduces to exactly this when offsets = [0]); used by callers whose
+      // counted input sized down to one partition (e.g. negativeSamples'
+      // pool at query-batch scale).
+      val wIdx = arranged0.schema.fieldIndex("__w")
+      val stamped = arranged0.rdd.mapPartitions { it =>
+        var cum = 0L
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ cum); cum += r.getLong(wIdx); out
+        }
+      }
+      return spark.createDataFrame(stamped, arranged0.schema.add(outCol, "long"))
+        .drop("__w")
+        .localCheckpoint(true)
+    }
+    val arranged = arranged0.persist()
     try {
       val wIdx = arranged.schema.fieldIndex("__w")
       val totals = arranged.rdd.mapPartitionsWithIndex { (i, it) =>
